@@ -1,0 +1,255 @@
+"""CdcEngine — the replay orchestrator.
+
+Ties together the pieces: watermark slice → micro-batch split → vectorized
+transforms → newest-wins merge-apply → fence/lineage commit → watermark save.
+This is the Spark-native equivalent of Sqoop's
+``sqoop job --exec`` loop (tool/JobTool.java + ImportTool.importTable,
+reference: ImportTool.java:511-555) with the merge tool folded in.
+
+Exactly-once contract: every micro-batch has a ``batch_id``; the lake commit
+fences it atomically with the data. Resume after a crash replays the tail
+from the last *saved* watermark (possibly re-reading applied batches) and
+skips every fenced batch — final state is identical to an uninterrupted run
+(FIXTURES.md §3.6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqoop_spark.cdc.checkpoint import JobStore
+from sqoop_spark.cdc.merge import MergeMode, MergeStats, merge_apply
+from sqoop_spark.cdc.watermark import IncrementalMode, incremental_slice
+from sqoop_spark.errors import EngineError, MergeKeyRequiredError, ValidationFailure
+from sqoop_spark.lake import LakeTable
+from sqoop_spark.transforms import fingerprint_content
+
+#: Default target-table schema (BASELINE.json input_hint + engine watermark
+#: columns per FIXTURES.md §1).
+REPOS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("content_sha", T.StringType()),
+        T.StructField("event_seq", T.LongType()),
+        T.StructField("event_ts", T.TimestampType()),
+    ]
+)
+
+
+@dataclass
+class ReplayReport:
+    batches: list[MergeStats] = field(default_factory=list)
+    skipped_batch_ids: list[int] = field(default_factory=list)
+    watermark: Any = None
+    events_seen: int = 0
+
+    @property
+    def rows_applied(self) -> int:
+        return sum(b.rows_applied for b in self.batches)
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        merge_mode: MergeMode = MergeMode.UPSERT,
+        salt_partitions: int = 0,
+        fingerprint: bool = True,
+        validate_counts: bool = True,
+    ):
+        self.spark = spark
+        self.table = table
+        self.merge_mode = merge_mode
+        self.salt_partitions = salt_partitions
+        self.fingerprint = fingerprint
+        self.validate_counts = validate_counts
+
+    # -- table bootstrap -----------------------------------------------------
+
+    @classmethod
+    def create_table(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType = REPOS_SCHEMA,
+        key_columns: tuple[str, ...] = ("repo", "path"),
+        num_buckets: int = 32,
+        **kwargs,
+    ) -> "CdcEngine":
+        table = LakeTable.create(
+            spark, path, schema, list(key_columns), num_buckets=num_buckets
+        )
+        return cls(spark, table, **kwargs)
+
+    # -- transforms -----------------------------------------------------------
+
+    def _transform(self, batch: DataFrame) -> DataFrame:
+        """The vectorized row-transform stage (pandas/Arrow UDFs only).
+
+        Normalization + sha256 fingerprint happen here, once — this is the
+        codegen-replacement stage (SURVEY.md §2.7). Rows already carrying a
+        content_sha are trusted only if recomputation is disabled.
+        """
+        if self.fingerprint and "content" in batch.columns:
+            batch = fingerprint_content(batch)
+        return batch
+
+    # -- replay ------------------------------------------------------------------
+
+    def apply_batch(
+        self, batch: DataFrame, batch_id: int | None, **merge_kwargs
+    ) -> MergeStats | None:
+        """Apply one already-bounded micro-batch (fence-checked)."""
+        if batch_id is not None and self.table.is_fenced(batch_id):
+            return None
+        if self.merge_mode is None:
+            # No merge key configured → blind append, Sqoop's plain
+            # `--incremental append` sink (no dedup; ImportTool append path).
+            df = self._transform(batch)
+            cols = [f.name for f in self.table.schema().fields]
+            manifest = self.table.append(
+                df.select(*[c for c in cols if c in df.columns]), batch_id=batch_id
+            )
+            rows = sum(
+                e["rows"]
+                for e in manifest["files"]
+                if e not in self.table.manifest(manifest["parent"])["files"]
+            )
+            return MergeStats(batch_id, rows, 0, 0, rows, 0, 0, self.table.num_buckets)
+        stats = merge_apply(
+            self.table,
+            self._transform(batch),
+            batch_id=batch_id,
+            mode=self.merge_mode,
+            salt_partitions=self.salt_partitions,
+            **merge_kwargs,
+        )
+        if self.validate_counts:
+            self._validate(stats)
+        return stats
+
+    def _validate(self, stats: MergeStats) -> None:
+        """Row-count validation — RowCountValidator semantics.
+
+        Reference: validation/RowCountValidator.java:36-60 compares source
+        row count to target row count with an AbsoluteValidationThreshold.
+        Here: every reduced-batch row must be accounted for as
+        updated/inserted/deleted/noop'd; carried rows must equal
+        old-touched minus (updated+deleted).
+        """
+        accounted = stats.updated + stats.inserted + stats.deleted
+        if stats.rows_in and accounted > stats.rows_in:
+            raise ValidationFailure(
+                f"row-count validation failed for batch {stats.batch_id}: "
+                f"{accounted} rows applied from {stats.rows_in} input rows"
+            )
+        if stats.deleted < 0 or stats.carried < 0:
+            raise ValidationFailure(
+                f"lineage counter mismatch for batch {stats.batch_id}: "
+                f"carried={stats.carried} deleted={stats.deleted} "
+                f"(old_touched must equal carried+updated+deleted)"
+            )
+
+    def run_incremental(
+        self,
+        events: DataFrame,
+        mode: IncrementalMode = IncrementalMode.APPEND,
+        check_column: str = "event_seq",
+        job: str | None = None,
+        job_store: JobStore | None = None,
+        batch_col: str = "batch_id",
+        last_value: Any = None,
+        require_merge_for_lastmodified: bool = True,
+        **merge_kwargs,
+    ) -> ReplayReport:
+        """One incremental run: slice by watermark, apply per micro-batch.
+
+        With ``job``/``job_store`` set, the watermark round-trips through the
+        saved job exactly like ``sqoop job --exec j1`` (JobTool.java:355-368),
+        except the batch fence — not the saved value — is what guarantees
+        exactly-once.
+        """
+        if job is not None:
+            if job_store is None:
+                raise EngineError("job_store required when job is set")
+            opts = job_store.read(job)["options"]
+            last_value = opts.get("incremental.last.value", last_value)
+            if isinstance(last_value, str) and mode is IncrementalMode.LASTMODIFIED:
+                import datetime as dt
+
+                last_value = dt.datetime.fromisoformat(last_value)
+
+        if (
+            mode is IncrementalMode.LASTMODIFIED
+            and require_merge_for_lastmodified
+            and self.table.total_rows() > 0
+            and self.merge_mode is None
+        ):
+            raise MergeKeyRequiredError(
+                "--merge-key or --append is required when using --incremental "
+                "lastmodified and the output directory exists"
+            )
+
+        sl = incremental_slice(events, mode, check_column, last_value)
+        report = ReplayReport(watermark=sl.upper)
+        if sl.empty:
+            return report
+
+        sliced = sl.df
+        if batch_col not in sliced.columns:
+            sliced = sliced.withColumn(batch_col, F.lit(0).cast("long"))
+
+        batch_ids = sorted(
+            r[batch_col]
+            for r in sliced.select(batch_col).distinct().collect()
+        )
+        fenced = self.table.fenced_batch_ids()
+        for b in batch_ids:
+            if b in fenced:
+                report.skipped_batch_ids.append(b)
+                continue
+            batch = sliced.filter(F.col(batch_col) == b).drop(batch_col)
+            stats = self.apply_batch(batch, int(b), **merge_kwargs)
+            if stats is not None:
+                report.batches.append(stats)
+                report.events_seen += stats.rows_in
+
+        if job is not None:
+            job_store.update(job, **{"incremental.last.value": report.watermark})
+            job_store.record_run(
+                job,
+                {
+                    "watermark": report.watermark,
+                    "batches": [b.batch_id for b in report.batches],
+                    "skipped": report.skipped_batch_ids,
+                    "rows_applied": report.rows_applied,
+                },
+            )
+        return report
+
+    # -- full replay (bench path) ---------------------------------------------------
+
+    def replay(
+        self,
+        events: DataFrame,
+        batch_col: str = "batch_id",
+        **merge_kwargs,
+    ) -> ReplayReport:
+        """Replay an entire change stream micro-batch by micro-batch."""
+        return self.run_incremental(
+            events,
+            mode=IncrementalMode.APPEND,
+            check_column="event_seq",
+            batch_col=batch_col,
+            **merge_kwargs,
+        )

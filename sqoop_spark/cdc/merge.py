@@ -1,0 +1,334 @@
+"""Newest-wins merge-apply — the heart of the engine.
+
+Reproduces Sqoop's merge tool (reference: mapreduce/MergeJob.java,
+MergeMapperBase.java:47-84, MergeReducerBase.java:31-51) and its
+export update modes (UpdateOutputFormat.java:85-211 for ``--update-key``
+update-only; MySQLUpsertOutputFormat.java:95-124 / OracleUpsertOutputFormat
+for ``--update-mode allowinsert``) as ONE DataFrame plan:
+
+1. **Reduce**: collapse the batch to one row per key with a window
+   ``row_number() OVER (PARTITION BY key ORDER BY event_seq DESC)``. The
+   reference reducer keeps the *last seen* new record — iteration-order
+   nondeterminism we tighten to a pinned total order on ``event_seq``
+   (SURVEY.md §2.4, §7 "hard parts").
+2. **Apply**: one full-outer join of the reduced batch against ONLY the
+   bucket-pruned slice of the target (LakeTable.read_buckets), classifying
+   every output row as carry / update / insert / delete, then a bucket
+   copy-on-write commit.
+
+Scale design:
+- The join is keyed on the table's bucket hash, so at 100 TB a batch
+  touching K of B buckets reads K/B of the table — file skipping, not a full
+  scan. Within touched buckets Spark picks SMJ or (if the reduced batch is
+  small) broadcast — we hint broadcast when the reduced batch is under
+  ``broadcast_threshold`` rows.
+- Hot-key skew in the *reduce* shuffle is handled by AQE skew handling plus
+  a two-phase pre-aggregation: a salted partial reduce first shrinks hot
+  keys' duplicate runs before the final per-key window (see
+  ``newest_wins_reduce(salt_partitions=...)``) — the Spark analog of the
+  skew problem Sqoop's TextSplitter warns about (TextSplitter.java:69-72).
+- Counters come from ``df.observe`` during the single write pass — no
+  second job. Deletes are derived from manifest row counts:
+  ``deleted = old_rows_in_touched_buckets - carried - updated``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+
+from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql import functions as F
+
+from sqoop_spark.errors import EngineError
+from sqoop_spark.lake import LakeTable
+
+
+class MergeMode(Enum):
+    #: Full CDC apply: insert + update + delete (newest-wins merge tool
+    #: semantics extended with op-codes).
+    UPSERT = "upsert"
+    #: Sqoop export --update-key (UpdateOnly): rows whose key has no match
+    #: in the target are silently ignored (UpdateOutputFormat.java:85-211;
+    #: TestExportUpdate "subset/no-op" cases). Deletes ignored.
+    UPDATE_ONLY = "updateonly"
+    #: Sqoop export --update-mode allowinsert: update matched, insert
+    #: unmatched (MySQLManager.java:131-153). Deletes ignored.
+    ALLOW_INSERT = "allowinsert"
+
+
+@dataclass
+class MergeStats:
+    batch_id: int | None
+    rows_in: int  # rows in the (already reduced) batch
+    carried: int  # target rows untouched within rewritten buckets
+    updated: int
+    inserted: int
+    deleted: int
+    buckets_touched: int
+    buckets_total: int
+
+    @property
+    def rows_applied(self) -> int:
+        return self.updated + self.inserted + self.deleted
+
+
+def _safe_observation(obs: Observation) -> dict:
+    """Read an Observation, tolerating plans where AQE eliminated the node."""
+    try:
+        return obs.get
+    except Exception:
+        return {}
+
+
+def newest_wins_reduce(
+    batch: DataFrame,
+    key_cols: list[str],
+    order_col: str = "event_seq",
+    salt_partitions: int = 0,
+) -> DataFrame:
+    """One row per key: the highest ``order_col`` wins — deterministically.
+
+    Tightens MergeReducerBase's last-seen-wins (reference :31-51) to a total
+    order. NULL keys are an error, as in the reference mapper
+    (MergeMapperBase.java:70-84 throws on null key).
+
+    With ``salt_partitions > 0`` a salted partial max-reduce runs first:
+    rows pre-aggregate on (key, salt) — shrinking hot keys' events by the
+    salt factor map-side-style — before the exact per-key window. For
+    batches with heavy per-key duplication this bounds the biggest shuffle
+    partition; for near-unique batches it's skipped (extra shuffle for
+    nothing).
+    """
+    null_pred = None
+    for k in key_cols:
+        p = F.col(k).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+
+    df = batch
+    if salt_partitions > 1:
+        salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_partitions))
+        df = (
+            df.withColumn("_salt", salt)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(*key_cols, "_salt").orderBy(F.col(order_col).desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_salt")
+        )
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    out = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # Null-key guard evaluated inside the same plan (no extra pass):
+    # assert_true raises on the first null-keyed row; its result is NULL for
+    # passing rows, so the filter keeps everything.
+    return out.filter(
+        F.assert_true(
+            ~null_pred,
+            F.lit("null merge key (mirrors MergeMapperBase null-key error)"),
+        ).isNull()
+    )
+
+
+def merge_apply(
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id: int | None = None,
+    mode: MergeMode = MergeMode.UPSERT,
+    op_col: str = "op",
+    order_col: str = "event_seq",
+    reduce_batch: bool = True,
+    broadcast_batch: bool | None = None,
+    salt_partitions: int = 0,
+    extra_summary: dict | None = None,
+) -> MergeStats:
+    """Apply one change batch to the lake table with bucket-pruned CoW.
+
+    ``batch`` must carry the table's columns plus ``op_col`` ('upsert'/
+    'insert'/'update'/'delete') and ``order_col``. Returns per-batch stats;
+    the commit records them in the snapshot summary together with the
+    batch-id fence and a per-bucket lineage manifest.
+    """
+    key_cols = table.key_columns
+    if batch_id is not None and table.is_fenced(batch_id):
+        raise EngineError(f"batch {batch_id} already applied (fenced)")
+
+    if op_col not in batch.columns:
+        batch = batch.withColumn(op_col, F.lit("upsert"))
+
+    obs_in = Observation(f"merge-in-{batch_id}")
+    batch = batch.observe(obs_in, F.count(F.lit(1)).alias("events_in"))
+    if reduce_batch:
+        batch = newest_wins_reduce(batch, key_cols, order_col, salt_partitions)
+
+    batch = batch.withColumn("_bucket", table.bucket_expr())
+    # Materialize the reduced batch once: it feeds (a) the affected-bucket
+    # probe and (b) the join — without a cache the window shuffle would run
+    # twice. At bench scale this is the batch (≪ table), so MEMORY_AND_DISK
+    # is safe.
+    batch = batch.persist()
+
+    # Affected buckets: tiny distinct (≤ num_buckets ints) — the pruning key.
+    affected = sorted(
+        r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+    )
+    if not affected:
+        empty = table.manifest()  # still fence the empty batch for exactly-once
+        table._commit(
+            "merge",
+            empty["files"],
+            batch_id,
+            {**(extra_summary or {}), "empty": True},
+            {"batch_id": batch_id, "buckets": [], "counters": {}},
+        )
+        return MergeStats(batch_id, 0, 0, 0, 0, 0, 0, table.num_buckets)
+
+    old_rows_touched = table.rows_in_buckets(affected)
+    old = table.read_buckets(affected).withColumn("_bucket", table.bucket_expr())
+
+    data_cols = [f.name for f in table.schema().fields]
+    payload_cols = [c for c in data_cols if c not in key_cols]
+
+    new_side = batch.select(
+        *[F.col(k).alias(f"_k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in payload_cols if c in batch.columns],
+        F.col(op_col).alias("_op"),
+        F.col("_bucket").alias("_n_bucket"),
+    )
+    # Join strategy: with AQE on (session default) Spark converts SMJ →
+    # broadcast at runtime from the *actual* reduced-batch size, which is the
+    # right call at every scale; ``broadcast_batch=True`` forces the hint for
+    # callers that know the batch is tiny.
+    if broadcast_batch:
+        new_side = F.broadcast(new_side)
+
+    cond = None
+    for k in key_cols:
+        p = old[k].eqNullSafe(new_side[f"_k_{k}"])
+        cond = p if cond is None else (cond & p)
+
+    joined = old.join(new_side, cond, "full_outer")
+
+    has_old = F.col(key_cols[0]).isNotNull()  # old side key present
+    has_new = F.col(f"_k_{key_cols[0]}").isNotNull()
+    is_delete = F.col("_op") == "delete"
+
+    # Classification per (mode, match) — the WHEN MATCHED / NOT MATCHED matrix.
+    if mode is MergeMode.UPSERT:
+        src = (
+            F.when(~has_new, F.lit("carry"))
+            .when(is_delete & has_old, F.lit("delete"))
+            .when(is_delete, F.lit("noop"))  # delete of absent key
+            .when(has_old, F.lit("update"))
+            .otherwise(F.lit("insert"))
+        )
+    elif mode is MergeMode.UPDATE_ONLY:
+        src = (
+            F.when(~has_new, F.lit("carry"))
+            .when(is_delete, F.when(has_old, F.lit("carry")).otherwise(F.lit("noop")))
+            .when(has_old, F.lit("update"))
+            .otherwise(F.lit("noop"))  # unmatched key silently ignored
+        )
+    else:  # ALLOW_INSERT
+        src = (
+            F.when(~has_new, F.lit("carry"))
+            .when(is_delete, F.when(has_old, F.lit("carry")).otherwise(F.lit("noop")))
+            .when(has_old, F.lit("update"))
+            .otherwise(F.lit("insert"))
+        )
+
+    take_new = src.isin("update", "insert")
+    out_cols = []
+    for k in key_cols:
+        out_cols.append(F.coalesce(old[k], new_side[f"_k_{k}"]).alias(k))
+    for c in payload_cols:
+        if f"_n_{c}" in new_side.columns:
+            out_cols.append(F.when(take_new, F.col(f"_n_{c}")).otherwise(old[c]).alias(c))
+        else:
+            out_cols.append(old[c].alias(c))
+    out_cols.append(F.coalesce(F.col("_bucket"), F.col("_n_bucket")).alias("_bucket"))
+    out_cols.append(src.alias("_src"))
+
+    merged = joined.select(*out_cols).filter(~F.col("_src").isin("delete", "noop"))
+
+    obs = Observation(f"merge-{batch_id}")
+    merged = merged.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.when(F.col("_src") == "carry", 1).otherwise(0)).alias("carried"),
+        F.sum(F.when(F.col("_src") == "update", 1).otherwise(0)).alias("updated"),
+        F.sum(F.when(F.col("_src") == "insert", 1).otherwise(0)).alias("inserted"),
+    )
+    merged = merged.drop("_src")
+
+    lineage_entries: list[dict] = []
+    manifest = table.overwrite_buckets(
+        merged,
+        affected,
+        batch_id=batch_id,
+        summary=extra_summary,
+        lineage=None,  # patched below once counters are known
+    )
+    # AQE's empty-relation propagation can eliminate a CollectMetrics node
+    # when the merged subtree is empty (e.g. a batch that deletes every row
+    # of its buckets) — treat a missing observation as an empty write.
+    got = _safe_observation(obs)
+    carried = int(got.get("carried") or 0)
+    updated = int(got.get("updated") or 0)
+    inserted = int(got.get("inserted") or 0)
+    deleted = old_rows_touched - carried - updated
+    rows_in = int(_safe_observation(obs_in).get("events_in") or 0)
+    batch.unpersist()
+
+    # Per-bucket lineage from the freshly committed manifest's file rows —
+    # the per-partition checkpoint/lineage manifest with counters the north
+    # rule requires (upgrade of GenericJobStorage's job rows).
+    new_files = [e for e in manifest["files"] if e["bucket"] in set(affected)]
+    per_bucket: dict[int, int] = {}
+    for e in new_files:
+        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + e["rows"]
+    lineage_entries = [
+        {"bucket": b, "rows_out": n} for b, n in sorted(per_bucket.items())
+    ]
+    counters = {
+        "rows_in": rows_in,
+        "carried": carried,
+        "updated": updated,
+        "inserted": inserted,
+        "deleted": deleted,
+        "old_rows_touched": old_rows_touched,
+    }
+    manifest["lineage"] = {
+        "batch_id": batch_id,
+        "buckets": lineage_entries,
+        "counters": counters,
+    }
+    manifest["summary"] = {**manifest["summary"], **counters}
+    # Lineage is advisory metadata; rewrite the committed manifest in place.
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(table.manifest_dir, f"v{manifest['version']:08d}.json")
+    tmp = path + ".lineage.tmp"
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, indent=1)
+    _os.replace(tmp, path)
+    table._manifest_cache[manifest["version"]] = manifest
+
+    return MergeStats(
+        batch_id=batch_id,
+        rows_in=int(rows_in or 0),
+        carried=carried,
+        updated=updated,
+        inserted=inserted,
+        deleted=deleted,
+        buckets_touched=len(affected),
+        buckets_total=table.num_buckets,
+    )

@@ -1,0 +1,134 @@
+"""LakeTable format: commits, fencing, bucket pruning, schema evolution."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqoop_spark.errors import EngineError, IncompatibleSchemaError
+from sqoop_spark.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def make(spark, scratch, buckets=4):
+    return LakeTable.create(
+        spark, os.path.join(scratch, "t"), SCHEMA, ["repo", "path"], num_buckets=buckets
+    )
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_create_append_read(spark, scratch):
+    t = make(spark, scratch)
+    t.append(df(spark, [("r1", "a", "x"), ("r2", "b", "y")]), batch_id=0)
+    got = {(r.repo, r.path, r.content) for r in t.read().collect()}
+    assert got == {("r1", "a", "x"), ("r2", "b", "y")}
+    assert t.total_rows() == 2
+    assert t.fenced_batch_ids() == {0}
+
+
+def test_fence_rejects_duplicate_batch(spark, scratch):
+    t = make(spark, scratch)
+    t.append(df(spark, [("r1", "a", "x")]), batch_id=7)
+    with pytest.raises(EngineError, match="fenced"):
+        t.append(df(spark, [("r1", "a", "x")]), batch_id=7)
+
+
+def test_reload_sees_committed_state(spark, scratch):
+    t = make(spark, scratch)
+    t.append(df(spark, [("r1", "a", "x")]), batch_id=1)
+    t2 = LakeTable.load(spark, t.path)
+    assert t2.total_rows() == 1
+    assert t2.fenced_batch_ids() == {1}
+
+
+def test_bucket_pruned_read(spark, scratch):
+    t = make(spark, scratch, buckets=8)
+    rows = [(f"r{i}", f"p{i}", f"c{i}") for i in range(50)]
+    t.append(df(spark, rows))
+    full = t.read()
+    with_b = full.withColumn("_b", t.bucket_expr())
+    some = [r._b for r in with_b.select("_b").distinct().collect()][:3]
+    pruned = t.read_buckets(some).withColumn("_b", t.bucket_expr())
+    assert pruned.filter(~F.col("_b").isin(some)).count() == 0
+    expect = with_b.filter(F.col("_b").isin(some)).count()
+    assert pruned.count() == expect
+    # pruning actually skips files
+    entries = [e for e in t.manifest()["files"] if e["bucket"] in set(some)]
+    assert len(entries) < len(t.manifest()["files"])
+
+
+def test_overwrite_buckets_carries_untouched_files(spark, scratch):
+    t = make(spark, scratch, buckets=8)
+    rows = [(f"r{i}", f"p{i}", f"c{i}") for i in range(50)]
+    t.append(df(spark, rows))
+    before = {e["path"]: e for e in t.manifest()["files"]}
+    upd = df(spark, [("r1", "p1", "NEW")]).withColumn("_bucket", t.bucket_expr())
+    bucket = upd.select("_bucket").collect()[0]._bucket
+    merged_bucket = (
+        t.read_buckets([bucket])
+        .withColumn("content", F.when((F.col("repo") == "r1") & (F.col("path") == "p1"), "NEW").otherwise(F.col("content")))
+    )
+    t.overwrite_buckets(merged_bucket, [bucket], batch_id=1)
+    after = t.manifest()["files"]
+    carried = [e for e in after if e["path"] in before and e["bucket"] != bucket]
+    assert carried, "untouched files must be carried forward by reference"
+    assert all(e["bucket"] != bucket or e["path"] not in before for e in after)
+    got = dict(
+        ((r.repo, r.path), r.content) for r in t.read().collect()
+    )
+    assert got[("r1", "p1")] == "NEW"
+    assert len(got) == 50
+
+
+def test_schema_evolution_add_rename_drop(spark, scratch):
+    t = make(spark, scratch)
+    t.append(df(spark, [("r1", "a", "x")]))
+    t.add_column("license", "string")
+    assert t.read().filter(F.col("license").isNull()).count() == 1
+    # write a row with the new column
+    new_schema = t.schema()
+    t.append(spark.createDataFrame([("r2", "b", "y", "MIT")], new_schema))
+    t.rename_column("license", "lic")
+    got = {(r.repo, r.lic) for r in t.read().collect()}
+    assert got == {("r1", None), ("r2", "MIT")}
+    t.drop_column("lic")
+    assert "lic" not in t.read().columns
+    # old files still readable
+    assert t.read().count() == 2
+
+
+def test_incompatible_type_change_rejected(spark, scratch):
+    t = make(spark, scratch)
+    with pytest.raises(
+        IncompatibleSchemaError,
+        match="Cannot merge files, the Avro schemas are not compatible.",
+    ):
+        t.change_column_type("content", "int")
+
+
+def test_rename_key_column_rejected(spark, scratch):
+    t = make(spark, scratch)
+    with pytest.raises(IncompatibleSchemaError):
+        t.rename_column("repo", "repository")
+
+
+def test_time_travel_read(spark, scratch):
+    t = make(spark, scratch)
+    t.append(df(spark, [("r1", "a", "x")]))
+    v1 = t.current_version()
+    t.append(df(spark, [("r2", "b", "y")]))
+    assert t.read(v1).count() == 1
+    assert t.read().count() == 2
+    ops = [s.operation for s in t.snapshots()]
+    assert ops == ["create", "append", "append"]
