@@ -1,38 +1,461 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Every query exercises a real operator of the ``sqoop_spark`` CDC engine
+(SURVEY.md §2): the change-event tail is *derived* from the shared
+``events`` parquet with SQL both Spark and DuckDB compute identically
+(sqoop_spark/datagen.py), so each CDC semantic — newest-wins merge, the
+watermark predicates, the update modes, split math, salting, the vectorized
+transforms — has an independently-computed ANSI-SQL oracle.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqoop_spark.cdc.engine import CdcEngine
+from sqoop_spark.cdc.merge import MergeMode, merge_frames, newest_wins_reduce
+from sqoop_spark.cdc.watermark import IncrementalMode, incremental_slice
+from sqoop_spark.datagen import derive_change_events, derive_events_sql
+from sqoop_spark.partitioning import (
+    assign_range_split,
+    boolean_split_predicates,
+    detect_hot_keys,
+    integer_split_points,
+)
+from sqoop_spark.schema import apply_type_mapping
+from sqoop_spark.sources import freeform_query
+from sqoop_spark.transforms import make_normalize_udf, parse_boolean_udf, sha256_udf
+
+TABLE_COLS = "repo, path, commit, lang, content, content_sha, event_seq, event_ts"
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str, batch_size: int = 1000) -> DataFrame:
+    return derive_change_events(spark, sf_dir, batch_size=batch_size)
+
+
+def _ce(batch_size: int = 1000) -> str:
+    """The change-event CTE body in DuckDB dialect."""
+    return derive_events_sql("events", "duckdb", batch_size=batch_size)
+
+
+#: newest-wins final state (latest event per key; latest==delete ⇒ absent) —
+#: the SQL statement of MergeReducerBase.java:31-51 with the deterministic
+#: event_seq total order.
+_FINAL_STATE_SQL = f"""
+WITH ce AS ({{ce}}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+  FROM ce
+)
+SELECT {TABLE_COLS} FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _final_state_sql(batch_size: int = 1000) -> str:
+    return _FINAL_STATE_SQL.format(ce=_ce(batch_size))
+
+
+def _half_split_sql(batch_size: int = 1000) -> str:
+    """CTEs: ce, half (watermark at max/2), old (merged first half state),
+    newr (newest-wins-reduced second half, op retained)."""
+    return f"""
+WITH ce AS ({_ce(batch_size)}),
+half AS (SELECT CAST(floor(max(event_seq) / 2) AS BIGINT) AS h FROM ce),
+old AS (
+  SELECT {TABLE_COLS} FROM (
+    SELECT ce.*, row_number() OVER (
+        PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+    FROM ce, half WHERE event_seq <= h
+  ) t WHERE rn = 1 AND op <> 'delete'
+),
+newr AS (
+  SELECT * FROM (
+    SELECT ce.*, row_number() OVER (
+        PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+    FROM ce, half WHERE event_seq > h
+  ) t WHERE rn = 1
+)
+"""
+
+
+def _split_halves(spark: SparkSession, sf_dir: str):
+    ce = _events(spark, sf_dir)
+    h = ce.agg(F.max("event_seq")).collect()[0][0] // 2
+    first = ce.filter(F.col("event_seq") <= h)
+    old = (
+        newest_wins_reduce(first, ["repo", "path"], "event_seq")
+        .filter(F.col("op") != "delete")
+        .select(*[c.strip() for c in TABLE_COLS.split(",")])
+    )
+    new = ce.filter(F.col("event_seq") > h)
+    return old, new
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark side — each exercises engine code)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_full_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end engine replay: watermark slice → micro-batches → vectorized
+    transforms → newest-wins merge-apply → fenced snapshot commits; returns
+    the final table state."""
+    events = _events(spark, sf_dir, batch_size=2500)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_replay_")
+    engine = CdcEngine.create_table(spark, f"{tmp}/repos", num_buckets=16)
+    engine.replay(events)
+    return engine.table.read()
+
+
+def q_newest_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge plan alone (no lake I/O): one-row-per-key newest-wins."""
+    ce = _events(spark, sf_dir)
+    reduced = newest_wins_reduce(ce, ["repo", "path"], "event_seq")
+    return reduced.filter(F.col("op") != "delete").select(*TABLE_COLS.split(", "))
+
+
+def q_newest_wins_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result through the salted two-phase reduce (hot-key path) —
+    proves salt affects placement only, never the answer."""
+    ce = _events(spark, sf_dir)
+    reduced = newest_wins_reduce(ce, ["repo", "path"], "event_seq", salt_partitions=8)
+    return reduced.filter(F.col("op") != "delete").select(*TABLE_COLS.split(", "))
+
+
+def q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--incremental append slice: check_col > last AND check_col <= MAX."""
+    ce = _events(spark, sf_dir)
+    upper = ce.agg(F.max("event_seq")).collect()[0][0]
+    sl = incremental_slice(ce, IncrementalMode.APPEND, "event_seq", upper // 2)
+    return sl.df
+
+
+def q_incremental_lastmodified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--incremental lastmodified slice: ts >= last AND ts < upper (inclusive
+    lower bound re-reads the boundary row — testTimestampBoundary parity)."""
+    ce = _events(spark, sf_dir)
+    mx = ce.agg(F.max("event_seq")).collect()[0][0]
+    lo = ce.filter(F.col("event_seq") == mx // 2).select("event_ts").collect()[0][0]
+    sl = incremental_slice(ce, IncrementalMode.LASTMODIFIED, "event_ts", lo)
+    return sl.df
+
+
+def q_merge_update_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export --update-key (UpdateOnly): unmatched new keys silently dropped."""
+    old, new = _split_halves(spark, sf_dir)
+    return merge_frames(old, new, ["repo", "path"], "event_seq", MergeMode.UPDATE_ONLY)
+
+
+def q_merge_allow_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export --update-mode allowinsert: update matched, insert unmatched."""
+    old, new = _split_halves(spark, sf_dir)
+    return merge_frames(old, new, ["repo", "path"], "event_seq", MergeMode.ALLOW_INSERT)
+
+
+def q_merge_upsert_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqoop-merge two-dataset form with delete op-codes honored."""
+    old, new = _split_halves(spark, sf_dir)
+    return merge_frames(old, new, ["repo", "path"], "event_seq", MergeMode.UPSERT)
+
+
+def q_split_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntegerSplitter interval math: rows per split at -m 8."""
+    ce = _events(spark, sf_dir)
+    row = ce.agg(F.min("event_seq").alias("lo"), F.max("event_seq").alias("hi")).collect()[0]
+    pts = integer_split_points(int(row["lo"]), int(row["hi"]), 8)
+    out = assign_range_split(ce, "event_seq", pts, out_col="split_id")
+    return out.groupBy("split_id").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_split_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanSplitter fan-out: = FALSE / = TRUE / IS NULL splits."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flag = F.when(F.col("event_id") % 17 == 0, F.lit(None)).otherwise(
+        F.col("value") > 50
+    )
+    df = ev.withColumn("flag", flag.cast("boolean"))
+    parts = []
+    for pred in boolean_split_predicates("flag"):
+        parts.append(df.filter(F.expr(pred)).select(F.lit(pred).alias("split_pred")))
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return un.groupBy("split_pred").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_freeform_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--query 'SELECT ... WHERE $CONDITIONS' --split-by --num-mappers 4
+    (TestFreeFormQueryImport parity: split union == whole query)."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView("customer")
+    q = (
+        "SELECT o.o_orderkey, c.c_name, o.o_totalprice "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_totalprice > 100000 AND $CONDITIONS"
+    )
+    return freeform_query(spark, q, split_by="o_orderkey", num_mappers=4)
+
+
+def q_null_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--null-string + --hive-drop-import-delims via the normalize pandas UDF."""
+    ce = _events(spark, sf_dir)
+    nullable = F.when(F.col("event_seq") % 10 == 0, F.lit(None)).otherwise(
+        F.col("content")
+    )
+    norm = make_normalize_udf(null_string="null", drop_delims=True)
+    return ce.select(
+        F.col("event_seq"), norm(nullable).alias("content_norm")
+    )
+
+
+def q_sha256_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sha256 fingerprint pandas UDF vs DuckDB's native sha256."""
+    ce = _events(spark, sf_dir)
+    return ce.select(F.col("event_seq"), sha256_udf(F.col("content")).alias("sha"))
+
+
+def q_parse_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanParser.java permissive parse as a pandas UDF."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tok = (
+        F.when(F.col("event_id") % 6 == 0, F.lit("true"))
+        .when(F.col("event_id") % 6 == 1, F.lit("T"))
+        .when(F.col("event_id") % 6 == 2, F.lit("YES"))
+        .when(F.col("event_id") % 6 == 3, F.lit("0"))
+        .when(F.col("event_id") % 6 == 4, F.lit("off"))
+        .otherwise(F.lit(None))
+    )
+    return ev.select(
+        F.col("event_id"), parse_boolean_udf(tok).alias("parsed")
+    )
+
+
+def q_type_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codegen-replacement schema cast (ConnManager.toJavaType table)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return apply_type_mapping(
+        ev,
+        {
+            "event_id": "BIGINT",
+            "user_id": "INTEGER",
+            "event_type": "VARCHAR",
+            "value": "DOUBLE",
+            "props": "CLOB",
+            "ts": "TIMESTAMP",
+        },
+    )
+
+
+def q_watermark_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX(check_col) watermark probe + MIN/MAX bounding query + COUNT
+    validation — the reference's three scalar aggregations."""
+    ce = _events(spark, sf_dir)
+    return ce.agg(
+        F.max("event_seq").alias("last_value"),
+        F.min("event_seq").alias("bound_lo"),
+        F.max("event_seq").alias("bound_hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-repo detection feeding the salting decision."""
+    ce = _events(spark, sf_dir)
+    return detect_hot_keys(ce, ["repo"], rows_per_partition=100)
+
+
+def q_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count validation surface: events per op-code."""
+    ce = _events(spark, sf_dir)
+    return ce.groupBy("op").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay through the engine at sf0.001."""
+    return q_cdc_full_replay(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_full_replay": q_cdc_full_replay,
+        "newest_wins_merge": q_newest_wins_merge,
+        "newest_wins_salted": q_newest_wins_salted,
+        "incremental_append": q_incremental_append,
+        "incremental_lastmodified": q_incremental_lastmodified,
+        "merge_update_only": q_merge_update_only,
+        "merge_allow_insert": q_merge_allow_insert,
+        "merge_upsert_frames": q_merge_upsert_frames,
+        "split_integer": q_split_integer,
+        "split_boolean": q_split_boolean,
+        "freeform_join": q_freeform_join,
+        "null_encoding": q_null_encoding,
+        "sha256_vectorized": q_sha256_vectorized,
+        "parse_boolean": q_parse_boolean,
+        "type_mapping": q_type_mapping,
+        "watermark_probe": q_watermark_probe,
+        "hot_keys": q_hot_keys,
+        "op_counts": q_op_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ce = _ce()
+    payload_case = {
+        c: (
+            f"CASE WHEN n.repo IS NOT NULL AND n.op <> 'delete' "
+            f"THEN n.{c} ELSE o.{c} END AS {c}"
+        )
+        for c in ["commit", "lang", "content", "content_sha", "event_seq", "event_ts"]
+    }
+    upd_cols = ",\n  ".join(
+        ["o.repo AS repo", "o.path AS path"] + list(payload_case.values())
+    )
+    ai_cols = ",\n  ".join(
+        [
+            "COALESCE(o.repo, n.repo) AS repo",
+            "COALESCE(o.path, n.path) AS path",
+        ]
+        + list(payload_case.values())
+    )
+
+    return {
+        "cdc_full_replay": _final_state_sql(batch_size=2500),
+        "newest_wins_merge": _final_state_sql(),
+        "newest_wins_salted": _final_state_sql(),
+        "incremental_append": f"""
+WITH ce AS ({ce}), b AS (SELECT max(event_seq) AS hi FROM ce)
+SELECT ce.* FROM ce, b
+WHERE event_seq > CAST(floor(hi / 2) AS BIGINT) AND event_seq <= hi
+""",
+        "incremental_lastmodified": f"""
+WITH ce AS ({ce}),
+b AS (SELECT CAST(floor(max(event_seq) / 2) AS BIGINT) AS mid,
+             max(event_ts) AS hi_ts FROM ce),
+lo AS (SELECT event_ts AS lo_ts FROM ce, b WHERE event_seq = mid)
+SELECT ce.* FROM ce, b, lo
+WHERE event_ts >= lo_ts AND event_ts < hi_ts + INTERVAL 1 MICROSECOND
+""",
+        "merge_update_only": f"""
+{_half_split_sql()}
+SELECT
+  {upd_cols}
+FROM old o LEFT JOIN newr n ON o.repo = n.repo AND o.path = n.path
+""",
+        "merge_allow_insert": f"""
+{_half_split_sql()}
+SELECT
+  {ai_cols}
+FROM old o FULL OUTER JOIN newr n ON o.repo = n.repo AND o.path = n.path
+WHERE o.repo IS NOT NULL OR n.op <> 'delete'
+""",
+        "merge_upsert_frames": f"""
+{_half_split_sql()}
+SELECT
+  {ai_cols}
+FROM old o FULL OUTER JOIN newr n ON o.repo = n.repo AND o.path = n.path
+WHERE n.repo IS NULL OR n.op <> 'delete'
+""",
+        "split_integer": f"""
+WITH ce AS ({ce}),
+b AS (SELECT min(event_seq) AS lo, max(event_seq) AS hi FROM ce),
+d AS (SELECT lo, hi,
+             CAST(floor((hi - lo) / 8) AS BIGINT) AS sz,
+             (hi - lo) % 8 AS rem FROM b),
+a AS (
+  SELECT CAST(least(7, CASE
+      WHEN event_seq - lo < rem * (sz + 1)
+        THEN floor((event_seq - lo) / (sz + 1))
+      ELSE rem + floor((event_seq - lo - rem * (sz + 1)) / sz)
+    END) AS INT) AS split_id
+  FROM ce, d
+)
+SELECT split_id, count(*) AS n_rows FROM a GROUP BY split_id
+""",
+        "split_boolean": """
+WITH f AS (
+  SELECT CASE WHEN event_id % 17 = 0 THEN NULL ELSE value > 50 END AS flag
+  FROM events
+)
+SELECT split_pred, n_rows FROM (
+  SELECT 'flag = FALSE' AS split_pred, count(*) AS n_rows FROM f WHERE flag = FALSE
+  UNION ALL
+  SELECT 'flag = TRUE', count(*) FROM f WHERE flag = TRUE
+  UNION ALL
+  SELECT 'flag IS NULL', count(*) FROM f WHERE flag IS NULL
+) t WHERE n_rows > 0
+""",
+        "freeform_join": """
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 100000 AND (1 = 1)
+""",
+        "null_encoding": f"""
+WITH ce AS ({ce})
+SELECT event_seq,
+  COALESCE(
+    replace(replace(replace(
+      CASE WHEN event_seq % 10 = 0 THEN NULL ELSE content END,
+      chr(10), ''), chr(13), ''), chr(1), ''),
+    'null') AS content_norm
+FROM ce
+""",
+        "sha256_vectorized": f"""
+WITH ce AS ({ce})
+SELECT event_seq, sha256(content) AS sha FROM ce
+""",
+        "parse_boolean": """
+SELECT event_id,
+  CASE
+    WHEN event_id % 6 = 5 THEN NULL
+    WHEN event_id % 6 = 0 THEN TRUE  -- 'true'
+    WHEN event_id % 6 = 1 THEN TRUE  -- 'T'
+    WHEN event_id % 6 = 2 THEN TRUE  -- 'YES'
+    ELSE FALSE                        -- '0', 'off'
+  END AS parsed
+FROM events
+""",
+        "type_mapping": """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(ts AS TIMESTAMP) AS ts,
+       CAST(user_id AS INTEGER) AS user_id,
+       CAST(event_type AS VARCHAR) AS event_type,
+       CAST(value AS DOUBLE) AS value,
+       CAST(props AS VARCHAR) AS props
+FROM events
+""",
+        "watermark_probe": f"""
+WITH ce AS ({ce})
+SELECT max(event_seq) AS last_value, min(event_seq) AS bound_lo,
+       max(event_seq) AS bound_hi, count(*) AS n_rows
+FROM ce
+""",
+        "hot_keys": f"""
+WITH ce AS ({ce})
+SELECT repo, count(*) AS n_rows,
+       CAST(ceil(count(*) / 100.0) AS INT) AS n_salts
+FROM ce GROUP BY repo HAVING count(*) > 100
+""",
+        "op_counts": f"""
+WITH ce AS ({ce})
+SELECT op, count(*) AS n_rows FROM ce GROUP BY op
+""",
+    }

@@ -137,6 +137,88 @@ def newest_wins_reduce(
     )
 
 
+def merge_frames(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    order_col: str = "event_seq",
+    mode: MergeMode = MergeMode.UPSERT,
+    op_col: str = "op",
+    reduce_new: bool = True,
+    broadcast_new: bool = False,
+) -> DataFrame:
+    """Two-dataset newest-wins merge — the Sqoop merge *tool* as one plan.
+
+    This is the standalone form of the merge (no lake table): given an
+    ``old`` snapshot and a ``new`` batch, emit one row per key where any new
+    record beats the old record, exactly the reference's
+    ``sqoop merge --new-data --onto --merge-key`` semantics
+    (tool/MergeTool.java:78-208; MergeReducerBase.java:31-51) with the
+    last-seen-wins nondeterminism tightened to max ``order_col``.
+
+    ``mode`` maps the export update modes onto the same plan
+    (UpdateOutputFormat.java:85-211; MySQLManager.java:131-153):
+    UPSERT honors an ``op`` column ('delete' removes the key), UPDATE_ONLY
+    drops unmatched new keys, ALLOW_INSERT inserts them. Output columns =
+    ``old``'s columns (the table schema).
+
+    Scale: one shuffle for the reduce window + one join that AQE converts to
+    broadcast when the reduced batch is small; pass ``broadcast_new=True``
+    to force the hint when the caller knows the batch is tiny.
+    """
+    if op_col not in new.columns:
+        new = new.withColumn(op_col, F.lit("upsert"))
+    if reduce_new:
+        new = newest_wins_reduce(new, key_cols, order_col)
+
+    data_cols = [c for c in old.columns]
+    payload_cols = [c for c in data_cols if c not in key_cols]
+
+    new_side = new.select(
+        *[F.col(k).alias(f"_k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in payload_cols if c in new.columns],
+        F.col(op_col).alias("_op"),
+    )
+    if broadcast_new:
+        new_side = F.broadcast(new_side)
+
+    cond = None
+    for k in key_cols:
+        p = old[k].eqNullSafe(new_side[f"_k_{k}"])
+        cond = p if cond is None else (cond & p)
+    joined = old.join(new_side, cond, "full_outer")
+
+    has_old = old[key_cols[0]].isNotNull()
+    has_new = F.col(f"_k_{key_cols[0]}").isNotNull()
+    is_delete = F.col("_op") == "delete"
+
+    if mode is MergeMode.UPSERT:
+        keep = ~has_new | ~is_delete  # drop deleted keys (absent-key delete noops)
+        take_new = has_new & ~is_delete
+    elif mode is MergeMode.UPDATE_ONLY:
+        keep = has_old  # unmatched new keys silently ignored
+        take_new = has_old & has_new & ~is_delete
+    else:  # ALLOW_INSERT
+        keep = has_old | (has_new & ~is_delete)
+        take_new = has_new & ~is_delete
+
+    out_cols = []
+    for k in key_cols:
+        out_cols.append(F.coalesce(old[k], new_side[f"_k_{k}"]).alias(k))
+    for c in payload_cols:
+        if f"_n_{c}" in new_side.columns:
+            out_cols.append(F.when(take_new, F.col(f"_n_{c}")).otherwise(old[c]).alias(c))
+        else:
+            out_cols.append(old[c].alias(c))
+    merged = joined.filter(keep).select(*out_cols)
+    if mode is MergeMode.UPSERT:
+        # a key only present as a delete event yields no row; a key whose
+        # newest new record is delete but which exists in old was dropped by
+        # ``keep`` above — nothing further to filter.
+        pass
+    return merged
+
+
 def merge_apply(
     table: LakeTable,
     batch: DataFrame,

@@ -52,6 +52,7 @@ _APPEND_OK = (
     T.DecimalType,
     T.DateType,
     T.TimestampType,
+    T.TimestampNTZType,
 )
 
 
@@ -74,7 +75,7 @@ def _check_column_type(df: DataFrame, check_column: str, mode: IncrementalMode):
             "which rows to incrementally import."
         )
     if mode is IncrementalMode.LASTMODIFIED and not isinstance(
-        field.dataType, (T.TimestampType, T.DateType)
+        field.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
     ):
         raise InvalidCheckColumnError(
             f"--incremental lastmodified requires a date/timestamp check "
