@@ -22,6 +22,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sqoop_spark.cdc.engine import CdcEngine
+from sqoop_spark.pipeline import (
+    cosine_topk,
+    exact_dedup,
+    jaccard_pairs,
+    lang_id,
+    lsh_cosine_topk,
+    minhash_lsh_pairs,
+    quality_score,
+    simhash,
+    token_count,
+)
+from sqoop_spark.pipeline.multimodal import extract_features, synthesize_media
+from sqoop_spark.pipeline.text import LANG_PROFILES, STOPWORDS, doc_fingerprint
 from sqoop_spark.cdc.merge import MergeMode, merge_frames, newest_wins_reduce
 from sqoop_spark.cdc.watermark import IncrementalMode, incremental_slice
 from sqoop_spark.datagen import derive_change_events, derive_events_sql
@@ -285,6 +298,95 @@ def q_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on sha256(text), keep lowest doc_id."""
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return jaccard_pairs(docs, k=3, threshold=0.05).select(
+        "id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding near-dup join (rows-only: xxhash64 has no DuckDB
+    twin; recall vs exact Jaccard is pytest-verified)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(docs, k=3, num_perm=16, bands=8, threshold=0.3).select(
+        "id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only; determinism pytest-verified)."""
+    return simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("mean_tok_len", 6).alias("mean_tok_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_docs(spark, sf_dir), k=5)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (rows-only; bucket-exactness is
+    pytest-verified against brute force)."""
+    emb = _embs(spark, sf_dir)
+    out = lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → mapInPandas feature extraction (rows-only;
+    stubbed decode, real Arrow plumbing)."""
+    feats = extract_features(synthesize_media(spark, 500))
+    return feats.select(
+        "media_id", "modality", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -314,7 +416,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_probe": q_watermark_probe,
         "hot_keys": q_hot_keys,
         "op_counts": q_op_counts,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash": q_simhash,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
     }
+
+
+def _shingle_list_sql(k: int) -> str:
+    """DuckDB k-shingle list from token list ``t`` (matches _shingles)."""
+    return (
+        f"list_distinct([array_to_string(t[i:i+{k - 1}], ' ') "
+        f"for i in range(1, greatest(len(t)-{k - 1}, 1)+1)])"
+    )
+
+
+def _lang_scores_sql() -> str:
+    """UNION ALL of (doc_id, lang, ord, score) rows per profile."""
+    parts = []
+    for ord_, (lang, markers) in enumerate(LANG_PROFILES.items()):
+        score = " + ".join(
+            f"len(list_filter(t, x -> x = '{m}'))" for m in markers
+        )
+        parts.append(
+            f"SELECT doc_id, '{lang}' AS lang, {ord_} AS ord, {score} AS score FROM d"
+        )
+    return "\nUNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -457,5 +591,79 @@ FROM ce GROUP BY repo HAVING count(*) > 100
         "op_counts": f"""
 WITH ce AS ({ce})
 SELECT op, count(*) AS n_rows FROM ce GROUP BY op
+""",
+        "dedup_exact": """
+SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents GROUP BY sha256(text)
+""",
+        "dedup_jaccard": f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE doc_id < 200),
+sh AS (SELECT doc_id, unnest({_shingle_list_sql(3)}) AS s FROM d),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.05
+""",
+        "token_count": """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+FROM documents
+""",
+        "quality_score": f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(len(t) AS INT) AS n_tokens,
+  round(CAST(length(text) AS DOUBLE) / len(t), 6) AS mean_tok_len,
+  round(CAST({" + ".join(f"len(list_filter(t, x -> x = '{w}'))" for w in STOPWORDS)} AS DOUBLE)
+        / len(t), 6) AS stopword_ratio
+FROM d
+""",
+        "lang_id": f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sc AS (
+{_lang_scores_sql()}
+),
+r AS (SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, ord ASC) AS rn
+      FROM sc)
+SELECT doc_id, lang AS lang_pred, CAST(score AS INT) AS lang_score
+FROM r WHERE rn = 1
+""",
+        "doc_fingerprint": f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_shingle_list_sql(5)}) AS s FROM d)
+SELECT doc_id, min(sha256(s)) AS fingerprint FROM sh GROUP BY doc_id
+""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+x AS (
+  SELECT q.qid, c.nid,
+         CAST(q.qe[i.i] AS DOUBLE) AS qv, CAST(c.ce[i.i] AS DOUBLE) AS cv
+  FROM q, c, (SELECT unnest(range(1, 65)) AS i) i
+  WHERE q.qid <> c.nid
+),
+s AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv))) AS cosine
+  FROM x GROUP BY 1, 2
+),
+r AS (SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM r WHERE rank <= 5
 """,
     }

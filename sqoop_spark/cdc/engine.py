@@ -128,10 +128,13 @@ class CdcEngine:
             return MergeStats(batch_id, rows, 0, 0, rows, 0, 0, self.table.num_buckets)
         stats = merge_apply(
             self.table,
-            self._transform(batch),
+            batch,
             batch_id=batch_id,
             mode=self.merge_mode,
             salt_partitions=self.salt_partitions,
+            # transforms run on the post-reduce survivors (one row per key):
+            # same result, a dup-factor less Python-side work
+            post_reduce_transform=self._transform,
             **merge_kwargs,
         )
         if self.validate_counts:
@@ -200,19 +203,37 @@ class CdcEngine:
                 "lastmodified and the output directory exists"
             )
 
-        sl = incremental_slice(events, mode, check_column, last_value)
+        # One combined probe pass: MAX(check_col) + the distinct batch ids of
+        # the in-slice rows. The upper bound (<= MAX) excludes nothing from
+        # the batch-id set by definition, so collecting batch ids under the
+        # lower-bound predicate alone is exact — this halves the probe scans
+        # vs a separate watermark probe + DISTINCT pass.
+        has_batches = batch_col in events.columns
+        c = F.col(check_column)
+        if mode is IncrementalMode.APPEND:
+            in_slice = c > F.lit(last_value) if last_value is not None else F.lit(True)
+        else:
+            in_slice = c >= F.lit(last_value) if last_value is not None else F.lit(True)
+        aggs = [F.max(c).alias("m")]
+        if has_batches:
+            aggs.append(
+                F.collect_set(F.when(in_slice, F.col(batch_col))).alias("b")
+            )
+        probe = events.agg(*aggs).collect()[0]
+
+        sl = incremental_slice(
+            events, mode, check_column, last_value, precomputed_max=probe["m"]
+        )
         report = ReplayReport(watermark=sl.upper)
         if sl.empty:
             return report
 
         sliced = sl.df
-        if batch_col not in sliced.columns:
+        if not has_batches:
             sliced = sliced.withColumn(batch_col, F.lit(0).cast("long"))
-
-        batch_ids = sorted(
-            r[batch_col]
-            for r in sliced.select(batch_col).distinct().collect()
-        )
+            batch_ids = [0]
+        else:
+            batch_ids = sorted(probe["b"])
         fenced = self.table.fenced_batch_ids()
         for b in batch_ids:
             if b in fenced:

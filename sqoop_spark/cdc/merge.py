@@ -34,6 +34,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 from enum import Enum
 
@@ -230,6 +232,7 @@ def merge_apply(
     broadcast_batch: bool | None = None,
     salt_partitions: int = 0,
     extra_summary: dict | None = None,
+    post_reduce_transform=None,
 ) -> MergeStats:
     """Apply one change batch to the lake table with bucket-pruned CoW.
 
@@ -238,6 +241,16 @@ def merge_apply(
     the commit records them in the snapshot summary together with the
     batch-id fence and a per-bucket lineage manifest.
     """
+    debug_timing = bool(os.environ.get("SQOOP_SPARK_DEBUG_TIMING"))
+    _t0 = time.time()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        if debug_timing:
+            now = time.time()
+            print(f"[merge b={batch_id}] {phase}: {now - _t0:.2f}s", flush=True)
+            _t0 = now
+
     key_cols = table.key_columns
     if batch_id is not None and table.is_fenced(batch_id):
         raise EngineError(f"batch {batch_id} already applied (fenced)")
@@ -245,22 +258,30 @@ def merge_apply(
     if op_col not in batch.columns:
         batch = batch.withColumn(op_col, F.lit("upsert"))
 
+    # Affected buckets: distinct bucket ids of the RAW batch keys — the
+    # newest-wins reduce cannot change the key set, so probing before the
+    # window/UDF chain reads just the key columns (parquet column pruning)
+    # instead of materializing the transformed batch. Tiny result
+    # (≤ num_buckets ints); this is the pruning key.
+    affected = sorted(
+        r["_b"]
+        for r in batch.select(table.bucket_expr().alias("_b")).distinct().collect()
+    )
+    _mark("affected-probe")
+
     obs_in = Observation(f"merge-in-{batch_id}")
     batch = batch.observe(obs_in, F.count(F.lit(1)).alias("events_in"))
     if reduce_batch:
         batch = newest_wins_reduce(batch, key_cols, order_col, salt_partitions)
+    if post_reduce_transform is not None:
+        # Vectorized row transforms (normalize + sha fingerprint pandas
+        # UDFs) run on the one-row-per-key survivors only — at high
+        # duplicate ratios this divides the Python-side work by the dup
+        # factor, and the whole chain executes exactly once, inside the
+        # single write job (no persist, no double window shuffle).
+        batch = post_reduce_transform(batch)
 
     batch = batch.withColumn("_bucket", table.bucket_expr())
-    # Materialize the reduced batch once: it feeds (a) the affected-bucket
-    # probe and (b) the join — without a cache the window shuffle would run
-    # twice. At bench scale this is the batch (≪ table), so MEMORY_AND_DISK
-    # is safe.
-    batch = batch.persist()
-
-    # Affected buckets: tiny distinct (≤ num_buckets ints) — the pruning key.
-    affected = sorted(
-        r["_bucket"] for r in batch.select("_bucket").distinct().collect()
-    )
     if not affected:
         empty = table.manifest()  # still fence the empty batch for exactly-once
         table._commit(
@@ -350,6 +371,7 @@ def merge_apply(
     )
     merged = merged.drop("_src")
 
+    _mark("plan-build")
     lineage_entries: list[dict] = []
     manifest = table.overwrite_buckets(
         merged,
@@ -361,13 +383,13 @@ def merge_apply(
     # AQE's empty-relation propagation can eliminate a CollectMetrics node
     # when the merged subtree is empty (e.g. a batch that deletes every row
     # of its buckets) — treat a missing observation as an empty write.
+    _mark("join+write+commit")
     got = _safe_observation(obs)
     carried = int(got.get("carried") or 0)
     updated = int(got.get("updated") or 0)
     inserted = int(got.get("inserted") or 0)
     deleted = old_rows_touched - carried - updated
     rows_in = int(_safe_observation(obs_in).get("events_in") or 0)
-    batch.unpersist()
 
     # Per-bucket lineage from the freshly committed manifest's file rows —
     # the per-partition checkpoint/lineage manifest with counters the north

@@ -89,14 +89,23 @@ def incremental_slice(
     mode: IncrementalMode,
     check_column: str,
     last_value: Any = None,
+    precomputed_max: Any = ...,
 ) -> IncrementalSlice:
-    """Bound the change tail by the watermark; return slice + new watermark."""
+    """Bound the change tail by the watermark; return slice + new watermark.
+
+    ``precomputed_max`` lets callers that already probed MAX(check_column)
+    (e.g. in a combined aggregation with batch-id discovery) skip the extra
+    pass; pass the probed value (None meaning empty source).
+    """
     _check_column_type(df, check_column, mode)
     c = F.col(check_column)
 
     # Watermark probe — the MAX(check_col) scalar query the reference pushes
     # to the database (ImportTool.java:214-282). One map-side-combined agg.
-    upper = df.agg(F.max(c).alias("m")).collect()[0]["m"]
+    if precomputed_max is ...:
+        upper = df.agg(F.max(c).alias("m")).collect()[0]["m"]
+    else:
+        upper = precomputed_max
 
     if upper is None:
         # Empty source: reference emits `check_col IS NULL` (:409-412).

@@ -300,26 +300,35 @@ class LakeTable:
         )
         id_by_name = {f["name"]: f["id"] for f in m["schema"]["fields"]}
         columns = {str(id_by_name[f["name"]]): f["name"] for f in m["schema"]["fields"]}
-        entries = []
+        found: list[tuple[str, int]] = []
         for root, _dirs, files in os.walk(out_dir):
             mm = _BUCKET_DIR_RE.search(root)
             if not mm:
                 continue
             bucket = int(mm.group(1))
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, fn)
-                rows = pq.ParquetFile(full).metadata.num_rows
-                entries.append(
-                    {
-                        "path": os.path.relpath(full, self.path),
-                        "bucket": bucket,
-                        "rows": rows,
-                        "columns": columns,
-                    }
-                )
-        return entries
+            found.extend(
+                (os.path.join(root, fn), bucket)
+                for fn in files
+                if fn.endswith(".parquet")
+            )
+        # Footer row counts in parallel — serial footer reads were a visible
+        # driver-side stall per commit (Iceberg gets these from task commit
+        # messages; a thread pool is the local-FS equivalent).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def entry(item: tuple[str, int]) -> dict:
+            full, bucket = item
+            return {
+                "path": os.path.relpath(full, self.path),
+                "bucket": bucket,
+                "rows": pq.ParquetFile(full).metadata.num_rows,
+                "columns": columns,
+            }
+
+        if not found:
+            return []
+        with ThreadPoolExecutor(max_workers=min(32, len(found))) as pool:
+            return list(pool.map(entry, found))
 
     def _prepare_df(self, df: DataFrame) -> DataFrame:
         schema = self.schema()

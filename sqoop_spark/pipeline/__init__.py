@@ -1,0 +1,17 @@
+from sqoop_spark.pipeline.dedup import (  # noqa: F401
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from sqoop_spark.pipeline.similarity import (  # noqa: F401
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from sqoop_spark.pipeline.text import (  # noqa: F401
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)

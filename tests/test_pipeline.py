@@ -1,0 +1,201 @@
+"""Training-data pipeline operators: dedup, text analysis, similarity,
+multimodal plumbing — verified against independent pandas/numpy oracles
+(mirroring the reference's read-back-and-compare-sets test style,
+TestIncrementalImport.assertDirOfNumbers at :316-361)."""
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from sqoop_spark.pipeline import (
+    cosine_topk,
+    exact_dedup,
+    jaccard_pairs,
+    lang_id,
+    lsh_cosine_topk,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    quality_score,
+    simhash,
+    token_count,
+)
+from sqoop_spark.pipeline.multimodal import extract_features, synthesize_media
+from sqoop_spark.pipeline.text import LANG_PROFILES, STOPWORDS, doc_fingerprint
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+def _shingle_set(text: str, k: int = 5) -> set:
+    toks = text.split(" ")
+    if len(toks) <= k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_exact_dedup(spark, docs, docs_pdf):
+    out = exact_dedup(docs).toPandas()
+    expected = (
+        docs_pdf.assign(sha=docs_pdf.text.map(lambda t: hashlib.sha256(t.encode()).hexdigest()))
+        .groupby("sha")
+        .agg(keep_id=("doc_id", "min"), n_dups=("doc_id", "count"))
+        .reset_index()
+    )
+    got = out.sort_values("content_sha").reset_index(drop=True)
+    exp = expected.sort_values("sha").reset_index(drop=True)
+    assert got["keep_id"].tolist() == exp["keep_id"].tolist()
+    assert got["n_dups"].tolist() == exp["n_dups"].tolist()
+    # with a synthetic dup injected, the group collapses
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 100000)
+    out2 = exact_dedup(docs.unionByName(dup)).toPandas()
+    assert (out2["n_dups"] == 2).sum() == 1
+
+
+def test_jaccard_pairs_matches_bruteforce(spark, docs, docs_pdf):
+    sample = docs.filter(F.col("doc_id") < 60)
+    got = jaccard_pairs(sample, k=3, threshold=0.05).toPandas()
+    sets = {
+        r.doc_id: _shingle_set(r.text, 3)
+        for r in docs_pdf[docs_pdf.doc_id < 60].itertuples()
+    }
+    exp = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        j = inter / len(sets[a] | sets[b])
+        if j >= 0.05:
+            exp.append((a, b, inter, j))
+    got_pairs = {(r.id_a, r.id_b): (r.n_common, round(r.jaccard, 9)) for r in got.itertuples()}
+    exp_pairs = {(a, b): (i, round(j, 9)) for a, b, i, j in exp}
+    assert got_pairs == exp_pairs
+
+
+def test_minhash_lsh_subset_of_exact_and_high_recall(spark, docs):
+    # inject near-dup docs so LSH has something to find: copy docs with the
+    # last token changed
+    base = docs.filter(F.col("doc_id") < 50)
+    near = base.withColumn("doc_id", F.col("doc_id") + 1000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz"))
+    )
+    corpus = base.unionByName(near)
+    exact = jaccard_pairs(corpus, k=5, threshold=0.7).toPandas()
+    approx = minhash_lsh_pairs(corpus, k=5, num_perm=16, bands=8, threshold=0.7).toPandas()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    approx_pairs = set(zip(approx.id_a, approx.id_b))
+    assert approx_pairs <= exact_pairs  # every emitted pair is verified
+    assert len(exact_pairs) >= 50  # the injected near-dups are in range
+    recall = len(approx_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_minhash_signatures_deterministic(spark, docs):
+    s1 = minhash_signatures(docs.limit(20)).toPandas().sort_values("doc_id")
+    s2 = minhash_signatures(docs.limit(20)).toPandas().sort_values("doc_id")
+    assert s1.signature.map(tuple).tolist() == s2.signature.map(tuple).tolist()
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    base = docs.filter(F.col("doc_id") < 30)
+    tweaked = base.withColumn("doc_id", F.col("doc_id") + 1000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz"))
+    )
+    fp = simhash(base.unionByName(tweaked)).toPandas().set_index("doc_id").simhash
+    dists = []
+    for i in range(30):
+        x = int(fp[i]) ^ int(fp[i + 1000])
+        dists.append(bin(x & 0xFFFFFFFFFFFFFFFF).count("1"))
+    assert max(dists) <= 8, f"near-identical docs too far: {dists}"
+
+
+def test_text_metrics_vs_pandas(spark, docs, docs_pdf):
+    tc = token_count(docs).toPandas().set_index("doc_id").n_tokens
+    qs = quality_score(docs).toPandas().set_index("doc_id")
+    li = lang_id(docs).toPandas().set_index("doc_id")
+    for r in docs_pdf.itertuples():
+        toks = r.text.split(" ")
+        assert tc[r.doc_id] == len(toks)
+        assert qs.loc[r.doc_id, "n_chars"] == len(r.text)
+        stop = sum(1 for t in toks if t in STOPWORDS)
+        assert qs.loc[r.doc_id, "stopword_ratio"] == pytest.approx(stop / len(toks))
+        scores = {
+            lang: sum(sum(1 for t in toks if t == m) for m in markers)
+            for lang, markers in LANG_PROFILES.items()
+        }
+        best = max(scores, key=lambda kk: (scores[kk], -list(LANG_PROFILES).index(kk)))
+        assert li.loc[r.doc_id, "lang_pred"] == best
+
+
+def test_doc_fingerprint(spark, docs, docs_pdf):
+    fp = doc_fingerprint(docs, k=5).toPandas().set_index("doc_id").fingerprint
+    r = docs_pdf.iloc[0]
+    expected = min(
+        hashlib.sha256(s.encode()).hexdigest() for s in _shingle_set(r.text, 5)
+    )
+    assert fp[r.doc_id] == expected
+
+
+def test_cosine_topk_vs_numpy(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = cosine_topk(emb, queries, k=5).toPandas()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf.embedding.map(lambda v: np.asarray(v, dtype="float64")))
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    for q in range(3):
+        qi = np.where(ids == q)[0][0]
+        sims = mat @ mat[qi]
+        order = [
+            int(ids[i])
+            for i in np.argsort(-sims, kind="stable")
+            if ids[i] != q
+        ][:5]
+        mine = got[got.query_id == q].sort_values("rank").neighbor_id.tolist()
+        assert mine == order, f"query {q}: {mine} vs {order}"
+
+
+def test_lsh_cosine_scores_exact_within_bucket(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = lsh_cosine_topk(emb, queries, k=3).toPandas()
+    exact = cosine_topk(emb, queries, k=200).toPandas()
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cosine for r in exact.itertuples()
+    }
+    assert len(approx) > 0
+    for r in approx.itertuples():
+        assert exact_scores[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine)
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, 100)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 100
+    assert set(feats.modality) == {"image", "audio", "video"}
+    assert (feats.n_bytes == 256).all()  # 8 × 32-byte sha blocks
+    f0 = feats.sort_values("media_id").features.iloc[0]
+    assert len(f0) == 8 and all(0 <= x <= 1 for x in f0)
+    # determinism
+    again = extract_features(media).toPandas().sort_values("media_id")
+    assert again.features.map(tuple).tolist() == feats.sort_values(
+        "media_id"
+    ).features.map(tuple).tolist()
+
+
+def test_multimodal_raise_stub(spark):
+    media = synthesize_media(spark, 10)
+    with pytest.raises(Exception, match="decode requires"):
+        extract_features(media, decode_stub="raise").collect()
