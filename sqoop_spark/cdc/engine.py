@@ -51,10 +51,24 @@ class ReplayReport:
     skipped_batch_ids: list[int] = field(default_factory=list)
     watermark: Any = None
     events_seen: int = 0
+    wall_seconds: float = 0.0
 
     @property
     def rows_applied(self) -> int:
         return sum(b.rows_applied for b in self.batches)
+
+    def summary_line(self) -> str:
+        """PerfCounters-style self-report — mirrors the reference's
+        "Transferred N MB in S seconds (X KB/sec)" + "Retrieved N records."
+        (util/PerfCounters.java:26-95; ImportJobBase.java:183-192), in
+        events because change events are this engine's unit of transfer."""
+        eps = self.events_seen / self.wall_seconds if self.wall_seconds else 0.0
+        return (
+            f"Applied {self.events_seen} change events in "
+            f"{self.wall_seconds:.4g} seconds ({eps:,.0f} events/sec). "
+            f"Retrieved {self.rows_applied} applied rows across "
+            f"{len(self.batches)} batches."
+        )
 
 
 class CdcEngine:
@@ -66,13 +80,19 @@ class CdcEngine:
         salt_partitions: int = 0,
         fingerprint: bool = True,
         validate_counts: bool = True,
+        merge_strategy: str = "cow",
+        auto_compact_threshold: int = 16,
     ):
+        if merge_strategy not in ("cow", "mor"):
+            raise EngineError(f"unknown merge strategy: {merge_strategy}")
         self.spark = spark
         self.table = table
         self.merge_mode = merge_mode
         self.salt_partitions = salt_partitions
         self.fingerprint = fingerprint
         self.validate_counts = validate_counts
+        self.merge_strategy = merge_strategy
+        self.auto_compact_threshold = auto_compact_threshold
 
     # -- table bootstrap -----------------------------------------------------
 
@@ -135,6 +155,8 @@ class CdcEngine:
             # transforms run on the post-reduce survivors (one row per key):
             # same result, a dup-factor less Python-side work
             post_reduce_transform=self._transform,
+            strategy=self.merge_strategy,
+            auto_compact_threshold=self.auto_compact_threshold,
             **merge_kwargs,
         )
         if self.validate_counts:
@@ -182,6 +204,9 @@ class CdcEngine:
         except the batch fence — not the saved value — is what guarantees
         exactly-once.
         """
+        import time as _time
+
+        _t0 = _time.time()
         if job is not None:
             if job_store is None:
                 raise EngineError("job_store required when job is set")
@@ -226,6 +251,7 @@ class CdcEngine:
         )
         report = ReplayReport(watermark=sl.upper)
         if sl.empty:
+            report.wall_seconds = _time.time() - _t0
             return report
 
         sliced = sl.df
@@ -245,6 +271,7 @@ class CdcEngine:
                 report.batches.append(stats)
                 report.events_seen += stats.rows_in
 
+        report.wall_seconds = _time.time() - _t0
         if job is not None:
             job_store.update(job, **{"incremental.last.value": report.watermark})
             job_store.record_run(
@@ -257,6 +284,10 @@ class CdcEngine:
                 },
             )
         return report
+
+    def compact(self, buckets=None) -> None:
+        """Collapse MoR deltas into base files (maintenance operation)."""
+        self.table.compact(buckets)
 
     # -- full replay (bench path) ---------------------------------------------------
 

@@ -75,10 +75,38 @@ class MergeStats:
         return self.updated + self.inserted + self.deleted
 
 
-def _safe_observation(obs: Observation) -> dict:
-    """Read an Observation, tolerating plans where AQE eliminated the node."""
+def _safe_observation(obs: Observation, timeout_s: float = 10.0) -> dict:
+    """Read an Observation without ever blocking the caller forever.
+
+    ``Observation.get`` waits on a QueryExecutionListener event that (a)
+    never fires when AQE's empty-relation propagation eliminated the
+    CollectMetrics node, and (b) never reaches the original session's bus
+    when the plan executed under ``foreachBatch``'s cloned session. Both
+    are survivable: poll the JVM's non-blocking ``getRowOrEmpty`` with a
+    deadline and treat a miss as "no metrics" — callers fall back to
+    manifest-derived counts.
+    """
+    import time as _t
+
+    deadline = _t.time() + timeout_s
     try:
-        return obs.get
+        jo = obs._jo
+        if jo is None:
+            return {}
+        while True:
+            jopt = jo.getRowOrEmpty()  # scala Option[Row]
+            if jopt is not None and jopt.isDefined():
+                from pyspark.serializers import CPickleSerializer
+
+                utils = getattr(
+                    obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
+                )
+                return CPickleSerializer().loads(utils.toPyRow(jopt.get())).asDict(
+                    recursive=False
+                )
+            if _t.time() >= deadline:
+                return {}
+            _t.sleep(0.05)
     except Exception:
         return {}
 
@@ -221,6 +249,88 @@ def merge_frames(
     return merged
 
 
+def _merge_apply_mor(
+    table: LakeTable,
+    reduced: DataFrame,
+    batch_id: int | None,
+    op_col: str,
+    affected: list[int],
+    obs_in: Observation,
+    post_reduce_transform,
+    extra_summary: dict | None,
+    auto_compact_threshold: int,
+    _mark,
+    obs_timeout: float,
+) -> MergeStats:
+    """Merge-on-read apply: write the reduced batch as delta files.
+
+    One job: reduce (already applied upstream) → vectorized transforms →
+    bucket-partitioned delta write. No old-side read, no join, no rewrite —
+    per-event cost is O(1) in table size. Deterministic resolution happens
+    in LakeTable._resolve; compaction amortizes it.
+    """
+    if post_reduce_transform is not None:
+        reduced = post_reduce_transform(reduced)
+    obs_out = Observation(f"mor-out-{batch_id}")
+    reduced = reduced.observe(
+        obs_out,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.when(F.col(op_col) == "delete", 1).otherwise(0)).alias("deletes"),
+    )
+    manifest = table.append_delta(
+        reduced, batch_id=batch_id, op_col=op_col, summary=extra_summary
+    )
+    _mark("delta-write+commit")
+    got = _safe_observation(obs_out, obs_timeout)
+    rows_out = int(got.get("rows_out") or 0)
+    deletes = int(got.get("deletes") or 0)
+    rows_in = int(_safe_observation(obs_in, obs_timeout).get("events_in") or 0)
+
+    new_files = [e for e in manifest["files"] if e.get("delta") and e["path"] not in
+                 {x["path"] for x in table.manifest(manifest["parent"])["files"]}]
+    per_bucket: dict[int, int] = {}
+    for e in new_files:
+        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + e["rows"]
+    manifest["lineage"] = {
+        "batch_id": batch_id,
+        "buckets": [{"bucket": b, "rows_out": n} for b, n in sorted(per_bucket.items())],
+        "counters": {
+            "rows_in": rows_in,
+            "delta_rows": rows_out,
+            "delete_markers": deletes,
+        },
+    }
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(table.manifest_dir, f"v{manifest['version']:08d}.json")
+    tmp = path + ".lineage.tmp"
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, indent=1)
+    _os.replace(tmp, path)
+    table._manifest_cache[manifest["version"]] = manifest
+
+    hot = [
+        b
+        for b, c in table.delta_file_counts().items()
+        if c >= auto_compact_threshold
+    ]
+    if hot:
+        table.compact(hot)
+        _mark(f"auto-compact({len(hot)} buckets)")
+
+    return MergeStats(
+        batch_id=batch_id,
+        rows_in=rows_in,
+        carried=0,
+        updated=0,
+        inserted=rows_out - deletes,
+        deleted=deletes,
+        buckets_touched=len(affected),
+        buckets_total=table.num_buckets,
+    )
+
+
 def merge_apply(
     table: LakeTable,
     batch: DataFrame,
@@ -233,13 +343,26 @@ def merge_apply(
     salt_partitions: int = 0,
     extra_summary: dict | None = None,
     post_reduce_transform=None,
+    strategy: str = "cow",
+    auto_compact_threshold: int = 16,
+    obs_timeout: float = 10.0,
 ) -> MergeStats:
-    """Apply one change batch to the lake table with bucket-pruned CoW.
+    """Apply one change batch to the lake table.
 
     ``batch`` must carry the table's columns plus ``op_col`` ('upsert'/
     'insert'/'update'/'delete') and ``order_col``. Returns per-batch stats;
     the commit records them in the snapshot summary together with the
     batch-id fence and a per-bucket lineage manifest.
+
+    Strategies:
+    - ``cow`` (copy-on-write): full-outer join against the touched buckets,
+      rewrite them. Exact per-batch counters; write volume O(bucket data).
+    - ``mor`` (merge-on-read): append newest-wins delta files; resolution
+      happens at read time / compaction (LakeTable._resolve). Write volume
+      O(batch) — the 10^10-event scale path (a CoW rewrite per batch is
+      O(table) write amplification). Buckets whose unmerged delta-file
+      count reaches ``auto_compact_threshold`` are compacted after the
+      commit, bounding read amplification.
     """
     debug_timing = bool(os.environ.get("SQOOP_SPARK_DEBUG_TIMING"))
     _t0 = time.time()
@@ -273,6 +396,20 @@ def merge_apply(
     batch = batch.observe(obs_in, F.count(F.lit(1)).alias("events_in"))
     if reduce_batch:
         batch = newest_wins_reduce(batch, key_cols, order_col, salt_partitions)
+    if strategy == "mor":
+        return _merge_apply_mor(
+            table,
+            batch,
+            batch_id,
+            op_col,
+            affected,
+            obs_in,
+            post_reduce_transform,
+            extra_summary,
+            auto_compact_threshold,
+            _mark,
+            obs_timeout,
+        )
     if post_reduce_transform is not None:
         # Vectorized row transforms (normalize + sha fingerprint pandas
         # UDFs) run on the one-row-per-key survivors only — at high
@@ -293,8 +430,14 @@ def merge_apply(
         )
         return MergeStats(batch_id, 0, 0, 0, 0, 0, 0, table.num_buckets)
 
-    old_rows_touched = table.rows_in_buckets(affected)
-    old = table.read_buckets(affected).withColumn("_bucket", table.bucket_expr())
+    # Old-side logical row count observed in the same pass (manifest sums
+    # would overcount when MoR delta files are present in these buckets).
+    obs_old = Observation(f"merge-old-{batch_id}")
+    old = (
+        table.read_buckets(affected)
+        .observe(obs_old, F.count(F.lit(1)).alias("old_rows"))
+        .withColumn("_bucket", table.bucket_expr())
+    )
 
     data_cols = [f.name for f in table.schema().fields]
     payload_cols = [c for c in data_cols if c not in key_cols]
@@ -322,11 +465,22 @@ def merge_apply(
     has_old = F.col(key_cols[0]).isNotNull()  # old side key present
     has_new = F.col(f"_k_{key_cols[0]}").isNotNull()
     is_delete = F.col("_op") == "delete"
+    # Seq-aware newest-wins vs the TABLE row, not just within the batch:
+    # a batch row older than the stored row is stale and must not apply
+    # (out-of-order delivery — e.g. a file-stream epoch replaying an old
+    # range). Possible only when the order column is part of the table
+    # schema; otherwise fall back to the reference's dataset-precedence
+    # (the new dataset always wins, MergeReducerBase semantics).
+    if order_col in data_cols and f"_n_{order_col}" in new_side.columns:
+        stale = has_new & has_old & (F.col(f"_n_{order_col}") < old[order_col])
+    else:
+        stale = F.lit(False)
 
     # Classification per (mode, match) — the WHEN MATCHED / NOT MATCHED matrix.
     if mode is MergeMode.UPSERT:
         src = (
             F.when(~has_new, F.lit("carry"))
+            .when(stale, F.lit("carry"))
             .when(is_delete & has_old, F.lit("delete"))
             .when(is_delete, F.lit("noop"))  # delete of absent key
             .when(has_old, F.lit("update"))
@@ -384,12 +538,28 @@ def merge_apply(
     # when the merged subtree is empty (e.g. a batch that deletes every row
     # of its buckets) — treat a missing observation as an empty write.
     _mark("join+write+commit")
-    got = _safe_observation(obs)
+    got = _safe_observation(obs, obs_timeout)
     carried = int(got.get("carried") or 0)
     updated = int(got.get("updated") or 0)
     inserted = int(got.get("inserted") or 0)
+    got_old = _safe_observation(obs_old, obs_timeout)
+    if "old_rows" in got_old:
+        old_rows_touched = int(got_old.get("old_rows") or 0)
+    else:
+        # Metrics node eliminated (AQE empty-relation) or listener bus
+        # unreachable: fall back to the PARENT manifest's physical rows —
+        # exact when the touched buckets held no MoR deltas; with deltas
+        # present, logical rows are unknowable without a job, so count
+        # conservatively (deleted reports 0; state is still correct).
+        pm = table.manifest(manifest["parent"])
+        bs = set(affected)
+        had_delta = any(e.get("delta") and e["bucket"] in bs for e in pm["files"])
+        if had_delta:
+            old_rows_touched = carried + updated
+        else:
+            old_rows_touched = sum(e["rows"] for e in pm["files"] if e["bucket"] in bs)
     deleted = old_rows_touched - carried - updated
-    rows_in = int(_safe_observation(obs_in).get("events_in") or 0)
+    rows_in = int(_safe_observation(obs_in, obs_timeout).get("events_in") or 0)
 
     # Per-bucket lineage from the freshly committed manifest's file rows —
     # the per-partition checkpoint/lineage manifest with counters the north

@@ -1,0 +1,405 @@
+"""CLI — the ``spark-submit --py-files`` surface of the engine.
+
+Mirrors the reference's registered tool set (tool/SqoopTool.java:74-105)
+with the subset that has meaning on a lake-native engine:
+
+  import             incremental ingest (append / lastmodified + merge)
+  merge              two-dataset newest-wins merge (tool/MergeTool.java)
+  job                saved jobs: --create/--exec/--list/--show/--delete
+                     (tool/JobTool.java:355-368)
+  eval               ad-hoc SQL (tool/EvalSqlTool.java)
+  list-tables        tables (parquet files / lake dirs) under a path
+  import-all-tables  every table under a path minus --exclude-tables
+                     (tool/ImportAllTablesTool.java)
+  bench              the replay benchmark at two parallelism levels
+
+Run as::
+
+    spark-submit --py-files sqoop_spark.zip -m sqoop_spark ...
+    python -m sqoop_spark import --events ... --target ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Sequence
+
+from pyspark.sql import SparkSession
+
+
+def _session(args) -> SparkSession:
+    from sqoop_spark.session import build_session
+
+    return build_session(
+        app_name="sqoop-spark",
+        parallelism=getattr(args, "num_mappers", None),
+        shuffle_partitions=getattr(args, "shuffle_partitions", 32) or 32,
+    )
+
+
+def _load_source(spark: SparkSession, args):
+    """--table (a parquet/lake path) or --query (free-form SQL)."""
+    from sqoop_spark.lake import LakeTable
+    from sqoop_spark.sources import freeform_query
+
+    if getattr(args, "query", None):
+        for t in args.register or []:
+            name, path = t.split("=", 1)
+            spark.read.parquet(path).createOrReplaceTempView(name)
+        return freeform_query(
+            spark,
+            args.query,
+            split_by=args.split_by,
+            num_mappers=args.num_mappers or 1,
+            boundary_query=getattr(args, "boundary_query", None),
+        )
+    path = args.table
+    if LakeTable.exists(path):
+        return LakeTable.load(spark, path).read()
+    return spark.read.parquet(path)
+
+
+def cmd_import(args) -> int:
+    from sqoop_spark.cdc import CdcEngine, IncrementalMode, JobStore
+    from sqoop_spark.cdc.merge import MergeMode
+    from sqoop_spark.lake import LakeTable
+    from sqoop_spark.schema import apply_type_mapping
+
+    spark = _session(args)
+    df = _load_source(spark, args)
+    if args.columns:
+        df = df.select(*[c.strip() for c in args.columns.split(",")])
+    if args.where:
+        df = df.filter(args.where)
+    if args.map_column:
+        mapping = dict(kv.split("=", 1) for kv in args.map_column.split(","))
+        df = apply_type_mapping(df, mapping)
+
+    if LakeTable.exists(args.target):
+        table = LakeTable.load(spark, args.target)
+        engine = CdcEngine(
+            spark,
+            table,
+            merge_mode=MergeMode(args.update_mode) if args.merge_key else None,
+            salt_partitions=args.salt_partitions,
+        )
+    else:
+        key_cols = tuple((args.merge_key or "repo,path").split(","))
+        engine = CdcEngine.create_table(
+            spark,
+            args.target,
+            schema=df.schema
+            if args.schema_from_source
+            else __import__("sqoop_spark.cdc.engine", fromlist=["REPOS_SCHEMA"]).REPOS_SCHEMA,
+            key_columns=key_cols,
+            num_buckets=args.num_buckets,
+            merge_mode=MergeMode(args.update_mode) if args.merge_key else None,
+            salt_partitions=args.salt_partitions,
+        )
+
+    store = JobStore(args.job_store) if args.job else None
+    if args.job and args.job not in store.list():
+        store.create(args.job, {"incremental.last.value": args.last_value})
+
+    report = engine.run_incremental(
+        df,
+        mode=IncrementalMode(args.incremental),
+        check_column=args.check_column,
+        job=args.job,
+        job_store=store,
+        last_value=None if args.job else _parse_last_value(args),
+    )
+    print(
+        json.dumps(
+            {
+                "watermark": str(report.watermark),
+                "events_seen": report.events_seen,
+                "rows_applied": report.rows_applied,
+                "batches": len(report.batches),
+                "skipped_batch_ids": report.skipped_batch_ids,
+            }
+        )
+    )
+    return 0
+
+
+def _parse_last_value(args):
+    if args.last_value is None:
+        return None
+    if args.incremental == "lastmodified":
+        import datetime as dt
+
+        return dt.datetime.fromisoformat(args.last_value)
+    try:
+        return int(args.last_value)
+    except ValueError:
+        return args.last_value
+
+
+def cmd_merge(args) -> int:
+    from sqoop_spark.cdc.merge import MergeMode, merge_frames
+
+    spark = _session(args)
+    old = spark.read.parquet(args.onto)
+    new = spark.read.parquet(args.new_data)
+    merged = merge_frames(
+        old,
+        new,
+        key_cols=args.merge_key.split(","),
+        order_col=args.order_column,
+        mode=MergeMode(args.update_mode),
+    )
+    merged.write.mode("overwrite").parquet(args.target_dir)
+    print(json.dumps({"rows": spark.read.parquet(args.target_dir).count()}))
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Export a lake table outward — Sqoop's export direction.
+
+    Modes (tool/ExportTool.java:80-93 dispatch):
+      insert       blind append to the target (JDBC INSERT analog)
+      updateonly   MERGE, matched keys only (--update-key semantics)
+      allowinsert  MERGE upsert (vendor upsert SQL analog)
+    Targets: parquet dataset or delimited text (--format text, with the
+    DelimiterSet/FieldFormatter options).
+    """
+    from sqoop_spark.cdc.merge import MergeMode, merge_frames
+    from sqoop_spark.lake import LakeTable
+    from sqoop_spark.sinks import write_delimited
+
+    spark = _session(args)
+    src = (
+        LakeTable.load(spark, args.source).read()
+        if LakeTable.exists(args.source)
+        else spark.read.parquet(args.source)
+    )
+    if args.format == "text":
+        write_delimited(
+            src,
+            args.target_table,
+            field_delim=args.field_delim,
+            enclosed_by=args.enclosed_by,
+            escaped_by=args.escaped_by,
+            null_string=args.null_string,
+            compression=args.compress,
+        )
+        print(json.dumps({"rows": src.count(), "format": "text"}))
+        return 0
+    if args.update_key and os.path.exists(args.target_table):
+        old = spark.read.parquet(args.target_table)
+        merged = merge_frames(
+            old,
+            src,
+            key_cols=args.update_key.split(","),
+            order_col=args.order_column,
+            mode=MergeMode(args.update_mode),
+        )
+        tmp = args.target_table + ".staging"  # staged-export atomicity analog
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(args.target_table)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        src.write.mode("append" if os.path.exists(args.target_table) else "overwrite").parquet(
+            args.target_table
+        )
+    print(json.dumps({"rows": spark.read.parquet(args.target_table).count()}))
+    return 0
+
+
+def cmd_codegen(args) -> int:
+    """Schema + cast-plan emission — the ClassWriter analog.
+
+    Sqoop generates a Java ORM class per table (orm/ClassWriter.java); on
+    Spark the schema IS the record class, so codegen degenerates to
+    emitting it (with cleaned identifiers and the JDBC cast plan)."""
+    from sqoop_spark.schema import clean_identifier
+
+    spark = _session(args)
+    df = spark.read.parquet(args.table)
+    out = {
+        "table": args.table,
+        "columns": [
+            {
+                "name": f.name,
+                "identifier": clean_identifier(f.name),
+                "spark_type": f.dataType.simpleString(),
+            }
+            for f in df.schema.fields
+        ],
+    }
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def cmd_job(args) -> int:
+    from sqoop_spark.cdc import JobStore
+
+    store = JobStore(args.job_store)
+    if args.list:
+        print("\n".join(store.list()))
+    elif args.show:
+        print(json.dumps(store.show(args.show), indent=1, default=str))
+    elif args.delete:
+        store.delete(args.delete)
+    elif args.create:
+        store.create(args.create, json.loads(args.options or "{}"))
+    else:
+        raise SystemExit("job: one of --list/--show/--delete/--create required")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    spark = _session(args)
+    for t in args.register or []:
+        name, path = t.split("=", 1)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+    for row in spark.sql(args.e).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def _tables_under(path: str) -> list[str]:
+    out = []
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if entry.endswith(".parquet"):
+            out.append(entry[: -len(".parquet")])
+        elif os.path.isdir(os.path.join(full, "_manifests")):
+            out.append(entry)
+    return out
+
+
+def cmd_list_tables(args) -> int:
+    print("\n".join(_tables_under(args.path)))
+    return 0
+
+
+def cmd_import_all_tables(args) -> int:
+    """Iterate listTables() minus --exclude-tables (ImportAllTablesTool)."""
+    spark = _session(args)
+    exclude = set((args.exclude_tables or "").split(","))
+    done = {}
+    for name in _tables_under(args.path):
+        if name in exclude:
+            continue
+        df = spark.read.parquet(os.path.join(args.path, f"{name}.parquet"))
+        df.write.mode("overwrite").parquet(os.path.join(args.warehouse_dir, name))
+        done[name] = df.count()
+    print(json.dumps(done))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", args.sf_dir)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sqoop-spark", description=__doc__)
+    sub = p.add_subparsers(dest="tool", required=True)
+
+    imp = sub.add_parser("import", help="incremental ingest into a lake table")
+    imp.add_argument("--table", help="source table path (parquet or lake)")
+    imp.add_argument("--query", help="free-form SQL with $CONDITIONS")
+    imp.add_argument("--register", action="append", metavar="NAME=PATH",
+                     help="temp view(s) for --query")
+    imp.add_argument("--target", required=True, help="target lake table path")
+    imp.add_argument("--incremental", choices=["append", "lastmodified"],
+                     default="append")
+    imp.add_argument("--check-column", default="event_seq")
+    imp.add_argument("--last-value")
+    imp.add_argument("--merge-key", help="comma list; enables merge-apply")
+    imp.add_argument("--update-mode", default="upsert",
+                     choices=["upsert", "updateonly", "allowinsert"])
+    imp.add_argument("--columns")
+    imp.add_argument("--where")
+    imp.add_argument("--map-column", help="col=JDBCTYPE,... cast map")
+    imp.add_argument("--split-by")
+    imp.add_argument("--boundary-query")
+    imp.add_argument("--num-mappers", "-m", type=int)
+    imp.add_argument("--num-buckets", type=int, default=32)
+    imp.add_argument("--salt-partitions", type=int, default=0)
+    imp.add_argument("--shuffle-partitions", type=int, default=32)
+    imp.add_argument("--schema-from-source", action="store_true")
+    imp.add_argument("--job", help="saved-job name (watermark round-trip)")
+    imp.add_argument("--job-store", default=".sqoop_spark_jobs")
+    imp.set_defaults(fn=cmd_import)
+
+    mrg = sub.add_parser("merge", help="two-dataset newest-wins merge")
+    mrg.add_argument("--new-data", required=True)
+    mrg.add_argument("--onto", required=True)
+    mrg.add_argument("--target-dir", required=True)
+    mrg.add_argument("--merge-key", required=True)
+    mrg.add_argument("--order-column", default="event_seq")
+    mrg.add_argument("--update-mode", default="upsert",
+                     choices=["upsert", "updateonly", "allowinsert"])
+    mrg.set_defaults(fn=cmd_merge)
+
+    exp = sub.add_parser("export", help="export a lake table outward")
+    exp.add_argument("--source", required=True, help="lake table or parquet")
+    exp.add_argument("--target-table", required=True)
+    exp.add_argument("--update-key", help="comma list; enables merge export")
+    exp.add_argument("--update-mode", default="allowinsert",
+                     choices=["upsert", "updateonly", "allowinsert"])
+    exp.add_argument("--order-column", default="event_seq")
+    exp.add_argument("--format", default="parquet", choices=["parquet", "text"])
+    exp.add_argument("--field-delim", default=",")
+    exp.add_argument("--enclosed-by")
+    exp.add_argument("--escaped-by")
+    exp.add_argument("--null-string", default="null")
+    exp.add_argument("--compress", help="codec identifier (CodecMap)")
+    exp.add_argument("--num-mappers", "-m", type=int)
+    exp.set_defaults(fn=cmd_export)
+
+    cg = sub.add_parser("codegen", help="emit schema/cast plan for a table")
+    cg.add_argument("--table", required=True)
+    cg.set_defaults(fn=cmd_codegen)
+
+    job = sub.add_parser("job", help="saved jobs")
+    job.add_argument("--job-store", default=".sqoop_spark_jobs")
+    job.add_argument("--list", action="store_true")
+    job.add_argument("--show")
+    job.add_argument("--delete")
+    job.add_argument("--create")
+    job.add_argument("--options", help="JSON options for --create")
+    job.set_defaults(fn=cmd_job)
+
+    ev = sub.add_parser("eval", help="ad-hoc SQL")
+    ev.add_argument("-e", required=True, help="SQL text")
+    ev.add_argument("--register", action="append", metavar="NAME=PATH")
+    ev.set_defaults(fn=cmd_eval)
+
+    lt = sub.add_parser("list-tables")
+    lt.add_argument("--path", required=True)
+    lt.set_defaults(fn=cmd_list_tables)
+
+    iat = sub.add_parser("import-all-tables")
+    iat.add_argument("--path", required=True)
+    iat.add_argument("--warehouse-dir", required=True)
+    iat.add_argument("--exclude-tables")
+    iat.set_defaults(fn=cmd_import_all_tables)
+
+    bn = sub.add_parser("bench")
+    bn.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    bn.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

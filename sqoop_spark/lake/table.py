@@ -215,25 +215,41 @@ class LakeTable:
 
     # -- reads -----------------------------------------------------------------
 
-    def _read_files(self, entries: list[dict], version: int | None = None) -> DataFrame:
+    def _read_files(
+        self,
+        entries: list[dict],
+        version: int | None = None,
+        with_op: bool = False,
+    ) -> DataFrame:
         """Read manifest file entries, reconciling per-file written schemas.
 
         Files are grouped by their written-column signature; each group is
         read in one call, then projected to the current schema via the
         column-id mapping (renames resolve, dropped columns vanish, added
         columns backfill as NULL — Iceberg schema-evolution semantics).
+
+        ``with_op=True`` additionally surfaces the merge-on-read op column:
+        delta files carry a physical ``_op``; base files read as 'upsert'.
         """
         m = self.manifest(version)
         current = m["schema"]["fields"]
+        empty_schema = self.schema(version)
+        if with_op:
+            empty_schema = T.StructType(
+                empty_schema.fields + [T.StructField("_op", T.StringType())]
+            )
         if not entries:
-            return self.spark.createDataFrame([], self.schema(version))
+            return self.spark.createDataFrame([], empty_schema)
         groups: dict[str, list[dict]] = {}
         for e in entries:
-            sig = json.dumps(e["columns"], sort_keys=True)
+            sig = json.dumps(
+                {"c": e["columns"], "d": bool(e.get("delta"))}, sort_keys=True
+            )
             groups.setdefault(sig, []).append(e)
         parts = []
         for sig, group in groups.items():
             id_to_written = {int(k): v for k, v in group[0]["columns"].items()}
+            is_delta = bool(group[0].get("delta"))
             paths = [os.path.join(self.path, e["path"]) for e in group]
             raw = self.spark.read.parquet(*paths)
             proj = []
@@ -243,24 +259,70 @@ class LakeTable:
                     proj.append(F.col(written).cast(f["type"]).alias(f["name"]))
                 else:
                     proj.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+            if with_op:
+                if is_delta and "_op" in raw.columns:
+                    proj.append(F.col("_op"))
+                else:
+                    proj.append(F.lit("upsert").alias("_op"))
             parts.append(raw.select(*proj))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
 
+    @property
+    def order_column(self) -> str:
+        return self.manifest().get("properties", {}).get("order_column", "event_seq")
+
+    def _resolve(self, df_with_op: DataFrame) -> DataFrame:
+        """Merge-on-read resolution: newest event per key wins; a winning
+        delete removes the key. One window over the pinned total order —
+        the read-side half of the MoR contract (write side: append_delta)."""
+        from pyspark.sql import Window
+
+        order = self.order_column
+        w = Window.partitionBy(*self.key_columns).orderBy(
+            F.col(order).desc(), F.col("_op").desc()
+        )
+        return (
+            df_with_op.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("_op") != "delete"))
+            .drop("_rn", "_op")
+        )
+
+    def _entries(self, version: int | None = None, buckets: Iterable[int] | None = None):
+        entries = self.manifest(version)["files"]
+        if buckets is not None:
+            bs = set(buckets)
+            entries = [e for e in entries if e["bucket"] in bs]
+        return entries
+
     def read(self, version: int | None = None) -> DataFrame:
-        return self._read_files(self.manifest(version)["files"], version)
+        """Logical table state (MoR deltas resolved when present)."""
+        entries = self._entries(version)
+        if not any(e.get("delta") for e in entries):
+            return self._read_files(entries, version)
+        return self._resolve(self._read_files(entries, version, with_op=True))
 
     def read_buckets(self, buckets: Iterable[int]) -> DataFrame:
-        """Bucket-pruned read: only files whose bucket is in ``buckets``.
+        """Bucket-pruned logical read: only files whose bucket is in
+        ``buckets``, MoR deltas resolved.
 
         This is the file-skipping that keeps merge-apply sub-linear in table
         size — the analog of Iceberg partition pruning on a bucket transform.
         """
-        bs = set(buckets)
-        entries = [e for e in self.manifest()["files"] if e["bucket"] in bs]
-        return self._read_files(entries)
+        entries = self._entries(buckets=buckets)
+        if not any(e.get("delta") for e in entries):
+            return self._read_files(entries)
+        return self._resolve(self._read_files(entries, with_op=True))
+
+    def delta_file_counts(self) -> dict[int, int]:
+        """Per-bucket count of unmerged delta files (compaction signal)."""
+        out: dict[int, int] = {}
+        for e in self.manifest()["files"]:
+            if e.get("delta"):
+                out[e["bucket"]] = out.get(e["bucket"], 0) + 1
+        return out
 
     def total_rows(self, version: int | None = None) -> int:
         return sum(e["rows"] for e in self.manifest(version)["files"])
@@ -282,7 +344,7 @@ class LakeTable:
 
     # -- writes ------------------------------------------------------------------
 
-    def _write_data_files(self, df: DataFrame) -> list[dict]:
+    def _write_data_files(self, df: DataFrame, delta: bool = False) -> list[dict]:
         """Write df (current schema + ``_bucket``) as bucket-partitioned parquet.
 
         Returns manifest file entries. One shuffle by ``_bucket`` so each
@@ -318,25 +380,30 @@ class LakeTable:
 
         def entry(item: tuple[str, int]) -> dict:
             full, bucket = item
-            return {
+            e = {
                 "path": os.path.relpath(full, self.path),
                 "bucket": bucket,
                 "rows": pq.ParquetFile(full).metadata.num_rows,
                 "columns": columns,
             }
+            if delta:
+                e["delta"] = True
+            return e
 
         if not found:
             return []
         with ThreadPoolExecutor(max_workers=min(32, len(found))) as pool:
             return list(pool.map(entry, found))
 
-    def _prepare_df(self, df: DataFrame) -> DataFrame:
+    def _prepare_df(self, df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
         schema = self.schema()
         names = schema.fieldNames()
         missing = [n for n in names if n not in df.columns]
         if missing:
             raise EngineError(f"input missing table columns: {missing}")
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        for c in extra_cols:
+            cols.append(F.col(c))
         if "_bucket" in df.columns:
             cols.append(F.col("_bucket").cast("int"))
             return df.select(*cols)
@@ -385,6 +452,63 @@ class LakeTable:
         entries = self._write_data_files(self._prepare_df(df))
         files = self.manifest()["files"] + entries
         return self._commit("append", files, batch_id, summary, lineage)
+
+    def append_delta(
+        self,
+        df: DataFrame,
+        batch_id: int | None = None,
+        op_col: str = "op",
+        summary: dict | None = None,
+        lineage: dict | None = None,
+    ) -> dict:
+        """Merge-on-read upsert commit: append newest-wins delta files.
+
+        The write-side half of MoR (the shape of Flink-CDC → Iceberg
+        upserts: data + equality-delete information land as new files; the
+        merge happens at read/compaction). ``df`` carries the table columns
+        plus ``op_col`` ('upsert'/'delete'); rows are written
+        bucket-partitioned with a physical ``_op`` column and marked
+        ``delta`` in the manifest. Per-event write volume is O(batch), not
+        O(table) — the property that lets a 10^10-event replay stream
+        instead of rewriting the table every batch.
+        """
+        if op_col not in df.columns:
+            df = df.withColumn(op_col, F.lit("upsert"))
+        prepared = self._prepare_df(
+            df.withColumn("_op", F.col(op_col)), extra_cols=("_op",)
+        )
+        entries = self._write_data_files(prepared, delta=True)
+        files = self.manifest()["files"] + entries
+        return self._commit("delta-append", files, batch_id, summary, lineage)
+
+    def compact(
+        self,
+        buckets: Iterable[int] | None = None,
+        batch_id: int | None = None,
+        summary: dict | None = None,
+    ) -> dict:
+        """Collapse MoR deltas into base files (Iceberg rewrite/compaction).
+
+        Resolves newest-wins per key for the chosen buckets and rewrites
+        them copy-on-write; a no-op when no deltas exist there.
+        """
+        delta_buckets = sorted(self.delta_file_counts())
+        if buckets is None:
+            target = delta_buckets
+        else:
+            target = sorted(set(buckets) & set(delta_buckets))
+        if not target:
+            return self.manifest()
+        resolved = self.read_buckets(target)
+        entries = self._write_data_files(self._prepare_df(resolved))
+        carried = [e for e in self.manifest()["files"] if e["bucket"] not in set(target)]
+        return self._commit(
+            "compact",
+            carried + entries,
+            batch_id,
+            {**(summary or {}), "compacted_buckets": len(target)},
+            None,
+        )
 
     def overwrite_buckets(
         self,

@@ -86,3 +86,39 @@ def apply_type_mapping(df: DataFrame, jdbc_schema: dict[str, str]) -> DataFrame:
 def schema_fingerprint(schema: T.StructType) -> str:
     """Stable fingerprint of a schema (name:type list), used by manifests."""
     return ";".join(f"{f.name}:{f.dataType.simpleString()}" for f in schema.fields)
+
+
+#: Words a generated identifier may not collide with — the reference avoids
+#: Java reserved words (orm/ClassWriter.java identifier cleaning); here the
+#: hazard set is SQL keywords that break unquoted column references.
+_RESERVED = {
+    "select", "from", "where", "group", "order", "by", "table", "column",
+    "int", "long", "double", "float", "string", "boolean", "class", "new",
+}
+
+
+def clean_identifier(name: str) -> str:
+    """Column name → safe identifier (ClassWriter.cleanColNames semantics:
+    non-identifier chars → ``_``, digit-leading names prefixed, reserved
+    words suffixed)."""
+    cleaned = "".join(c if (c.isalnum() or c == "_") else "_" for c in name)
+    if not cleaned or cleaned[0].isdigit():
+        cleaned = f"_{cleaned}"
+    if cleaned.lower() in _RESERVED:
+        cleaned = f"{cleaned}_col"
+    return cleaned
+
+
+def clean_identifiers(df: DataFrame) -> DataFrame:
+    """Rename every column through ``clean_identifier`` (collision-checked)."""
+    seen: dict[str, int] = {}
+    cols = []
+    for f in df.schema.fields:
+        new = clean_identifier(f.name)
+        if new in seen:
+            seen[new] += 1
+            new = f"{new}_{seen[new]}"
+        else:
+            seen[new] = 0
+        cols.append(F.col(f"`{f.name}`").alias(new))
+    return df.select(*cols)

@@ -1,0 +1,136 @@
+"""File sinks/sources with Sqoop's serialization semantics.
+
+Covers the reference's import FileLayouts (SqoopOptions.java:86-92) that
+retain meaning on Spark:
+
+- delimited text  — ``SqoopRecord.toString(DelimiterSet)`` semantics
+  (lib/DelimiterSet.java:66-71 defaults: fields ``,``, lines ``\\n``, no
+  enclose/escape; lib/FieldFormatter.java:56-143 enclose/escape rules;
+  ``--null-string`` encoding ClassWriter.java:363-380) → Spark CSV writer
+  options. Parse-back (lib/RecordParser.java's 6-state machine) → Spark
+  CSV reader with the same options.
+- parquet         — ``df.write.parquet`` (the lake table's native format).
+- avro            — ``df.write.format("avro")`` behind an import-try (the
+  spark-avro module is not bundled with pip pyspark).
+- sequencefile    — not reproduced (Hadoop-era container with no Spark
+  value; SURVEY.md §2.2 marks it legacy).
+
+Compression follows CodecMap (io/CodecMap.java:39-120): identifier →
+Spark codec name; unknown identifiers raise the reference's wording.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from sqoop_spark.errors import EngineError
+
+#: Sqoop defaults (lib/DelimiterSet.java:66-71).
+DEFAULT_FIELD_DELIM = ","
+DEFAULT_NULL_STRING = "null"
+
+#: CodecMap identifiers → Spark text codec (io/CodecMap.java:39-120).
+#: lzo/lzop need native hadoop libs the same way they do in the reference;
+#: they're mapped to the nearest available codec-name here.
+CODEC_MAP = {
+    "none": None,
+    "deflate": "deflate",
+    "gzip": "gzip",
+    "bzip2": "bzip2",
+    "lz4": "lz4",
+    "snappy": "snappy",
+    "zstd": None,  # text writer: zstd unsupported by Hadoop text codecs here
+}
+
+
+def resolve_codec(identifier: str | None) -> str | None:
+    if identifier is None:
+        return None
+    ident = identifier.lower()
+    if ident not in CODEC_MAP:
+        raise EngineError(f"Could not find codec: {identifier}")
+    return CODEC_MAP[ident]
+
+
+def write_delimited(
+    df: DataFrame,
+    path: str,
+    field_delim: str = DEFAULT_FIELD_DELIM,
+    enclosed_by: str | None = None,
+    escaped_by: str | None = None,
+    optionally_enclosed: bool = True,
+    null_string: str = DEFAULT_NULL_STRING,
+    compression: str | None = None,
+) -> None:
+    """Write delimited text with Sqoop's field-formatting semantics.
+
+    ``enclosed_by`` + ``optionally_enclosed=False`` is ``--enclosed-by``
+    (always quote); ``optionally_enclosed=True`` is
+    ``--optionally-enclosed-by`` (quote only when needed) — mirroring
+    FieldFormatter.escapeAndEnclose's mustEnclose flag.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .option("sep", field_delim)
+        .option("nullValue", null_string)
+        .option("emptyValue", "")
+    )
+    if enclosed_by is not None:
+        writer = writer.option("quote", enclosed_by).option(
+            "quoteAll", not optionally_enclosed
+        )
+    else:
+        # CSV writers always have a quote char; an unused one (\0) gives
+        # Sqoop's default no-enclose behavior.
+        writer = writer.option("quote", "\u0000")
+    if escaped_by is not None:
+        writer = writer.option("escape", escaped_by)
+    codec = resolve_codec(compression)
+    if codec:
+        writer = writer.option("compression", codec)
+    writer.csv(path)
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    field_delim: str = DEFAULT_FIELD_DELIM,
+    enclosed_by: str | None = None,
+    escaped_by: str | None = None,
+    null_string: str = DEFAULT_NULL_STRING,
+) -> DataFrame:
+    """Parse delimited text back — RecordParser.java:53-371 equivalence.
+
+    The reference's export path re-parses its own text output via the
+    generated ``parse()``; round-tripping ``write_delimited`` output
+    through this reader must be the identity (tested).
+    """
+    reader = (
+        spark.read.schema(schema)
+        .option("sep", field_delim)
+        .option("nullValue", null_string)
+        .option("emptyValue", "")
+    )
+    if enclosed_by is not None:
+        reader = reader.option("quote", enclosed_by)
+    else:
+        reader = reader.option("quote", "\u0000")
+    if escaped_by is not None:
+        reader = reader.option("escape", escaped_by)
+    return reader.csv(path)
+
+
+def write_avro(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """Avro sink (mapreduce/AvroImportMapper.java) — optional dependency."""
+    try:
+        writer = df.write.mode("overwrite").format("avro")
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.save(path)
+    except Exception as e:  # pragma: no cover - depends on spark-avro jar
+        raise EngineError(
+            "avro sink requires the spark-avro module "
+            "(--packages org.apache.spark:spark-avro_2.13:<version>)"
+        ) from e

@@ -1,0 +1,197 @@
+"""CLI tool surface, Structured-Streaming foreachBatch front end, and
+delimited text sinks (round-trip = RecordParser parity)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqoop_spark.cdc import CdcEngine
+from sqoop_spark.cli import main as cli_main
+from sqoop_spark.datagen import synthesize_change_events, replay_oracle
+from sqoop_spark.errors import EngineError
+from sqoop_spark.sinks import read_delimited, resolve_codec, write_delimited
+from sqoop_spark.streaming import stream_apply
+
+
+# -- sinks -------------------------------------------------------------------
+
+
+def test_delimited_roundtrip_defaults(spark, scratch):
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "plain", 1.5), (2, None, 2.5), (3, "semi;colon", None)], schema
+    )
+    out = os.path.join(scratch, "txt")
+    write_delimited(df, out)
+    back = read_delimited(spark, out, schema).orderBy("a").collect()
+    rows = [tuple(r) for r in back]
+    assert rows == [(1, "plain", 1.5), (2, None, 2.5), (3, "semi;colon", None)]
+    # NULL is encoded as the literal default null-string "null"
+    raw = []
+    for fn in os.listdir(out):
+        if fn.startswith("part-"):
+            raw.extend(open(os.path.join(out, fn)).read().splitlines())
+    assert any(",null," in line or line.endswith("null") for line in raw)
+
+
+def test_delimited_roundtrip_enclosed_escaped(spark, scratch):
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    tricky = 'has,comma and "quote" and \\ backslash'
+    df = spark.createDataFrame([(1, tricky), (2, "plain")], schema)
+    out = os.path.join(scratch, "enc")
+    write_delimited(df, out, enclosed_by='"', escaped_by="\\")
+    back = read_delimited(
+        spark, out, schema, enclosed_by='"', escaped_by="\\"
+    ).orderBy("k")
+    assert [r.v for r in back.collect()] == [tricky, "plain"]
+
+
+def test_codec_map():
+    assert resolve_codec("gzip") == "gzip"
+    assert resolve_codec("none") is None
+    with pytest.raises(EngineError, match="Could not find codec"):
+        resolve_codec("lzop-nonsense")
+
+
+# -- streaming ---------------------------------------------------------------
+
+
+def test_stream_apply_matches_batch_replay(spark, scratch):
+    events = synthesize_change_events(spark, 3000, batch_size=1000)
+    src = os.path.join(scratch, "src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", "2").parquet(src)
+    # file-stream epochs arrive in arbitrary event order → MoR strategy
+    # (global newest-wins resolution; see stream_apply docstring)
+    engine = CdcEngine.create_table(
+        spark, os.path.join(scratch, "tbl"), num_buckets=8, merge_strategy="mor"
+    )
+    q = stream_apply(engine, stream, os.path.join(scratch, "ckpt"))
+    q.awaitTermination(120)
+
+    got = (
+        engine.table.read()
+        .orderBy("repo", "path")
+        .select("repo", "path", "content_sha")
+        .toPandas()
+    )
+    oracle = replay_oracle(events.toPandas())
+    assert got.reset_index(drop=True).equals(
+        oracle[["repo", "path", "content_sha"]].reset_index(drop=True)
+    )
+    # epoch fences recorded → restarting the stream re-applies nothing
+    fenced_before = engine.table.fenced_batch_ids()
+    stream2 = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q2 = stream_apply(engine, stream2, os.path.join(scratch, "ckpt"))
+    q2.awaitTermination(60)
+    assert engine.table.fenced_batch_ids() == fenced_before
+
+
+def test_stream_apply_rejects_batch_df(spark, scratch):
+    df = spark.range(3)
+    engine = CdcEngine.create_table(spark, os.path.join(scratch, "t2"), num_buckets=4)
+    with pytest.raises(ValueError, match="streaming"):
+        stream_apply(engine, df, os.path.join(scratch, "c2"))
+
+
+# -- CLI ---------------------------------------------------------------------
+
+
+def test_cli_import_merge_job_eval(spark, scratch, capsys):
+    events = synthesize_change_events(spark, 2000, batch_size=500)
+    src = os.path.join(scratch, "events")
+    events.write.parquet(src)
+    target = os.path.join(scratch, "lake")
+    store = os.path.join(scratch, "jobs")
+
+    rc = cli_main(
+        [
+            "import",
+            "--table", src,
+            "--target", target,
+            "--merge-key", "repo,path",
+            "--check-column", "event_seq",
+            "--job", "j1",
+            "--job-store", store,
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events_seen"] == 2000 and out["batches"] == 4
+
+    # second exec: nothing new (watermark + fence) — mirrors
+    # testFullThenIncrementalAppend "run twice, only new rows"
+    rc = cli_main(
+        [
+            "import",
+            "--table", src,
+            "--target", target,
+            "--merge-key", "repo,path",
+            "--job", "j1",
+            "--job-store", store,
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events_seen"] == 0
+
+    rc = cli_main(["job", "--job-store", store, "--list"])
+    assert capsys.readouterr().out.strip() == "j1"
+
+    # merge tool
+    old_p = os.path.join(scratch, "old")
+    new_p = os.path.join(scratch, "new")
+    events.filter(F.col("event_seq") < 1000).write.parquet(old_p)
+    events.filter(F.col("event_seq") >= 1000).write.parquet(new_p)
+    merged_p = os.path.join(scratch, "merged")
+    rc = cli_main(
+        [
+            "merge",
+            "--onto", old_p,
+            "--new-data", new_p,
+            "--target-dir", merged_p,
+            "--merge-key", "repo,path",
+        ]
+    )
+    assert rc == 0
+    json.loads(capsys.readouterr().out.strip())
+
+    # eval
+    rc = cli_main(
+        ["eval", "--register", f"ev={src}", "-e", "SELECT count(*) AS n FROM ev"]
+    )
+    assert json.loads(capsys.readouterr().out.strip())["n"] == 2000
+
+
+def test_cli_list_and_import_all_tables(spark, scratch, capsys, tmp_path):
+    for name in ("t1", "t2", "skipme"):
+        spark.range(5).write.parquet(os.path.join(scratch, f"{name}.parquet"))
+    rc = cli_main(["list-tables", "--path", scratch])
+    assert rc == 0
+    assert capsys.readouterr().out.split() == ["skipme", "t1", "t2"]
+    wh = os.path.join(scratch, "wh")
+    rc = cli_main(
+        [
+            "import-all-tables",
+            "--path", scratch,
+            "--warehouse-dir", wh,
+            "--exclude-tables", "skipme",
+        ]
+    )
+    got = json.loads(capsys.readouterr().out.strip())
+    assert got == {"t1": 5, "t2": 5}
