@@ -104,6 +104,24 @@ def replay_run(spark, tail_path: str, n_events: int, tag: str) -> float:
     return wall
 
 
+def _compute_probe(spark) -> float:
+    """Pure-JVM compute control: sha2 fold over spark.range.
+
+    Separates substrate from engine: if THIS doesn't scale between the two
+    parallelism levels (shared-host steal, bandwidth), no data job will.
+    """
+    import pyspark.sql.functions as F
+
+    t0 = time.time()
+    (
+        spark.range(0, 30_000_000, 1, 64)
+        .select(F.sha2(F.col("id").cast("string"), 256).alias("h"))
+        .agg(F.max("h"))
+        .collect()
+    )
+    return time.time() - t0
+
+
 def main() -> None:
     os.makedirs(SCRATCH, exist_ok=True)
     base_rows = pq.ParquetFile(os.path.join(SF_DIR, "events.parquet")).metadata.num_rows
@@ -112,18 +130,22 @@ def main() -> None:
     lo_cpus = max(2, CPUS // 8)
     hi_cpus = max(lo_cpus * 4, 4)
 
-    best = {lo_cpus: float("inf"), hi_cpus: float("inf")}
-    for _ in range(ROUNDS):
+    walls: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
+    compute: dict[int, float] = {}
+    for r in range(ROUNDS):
         for cpus in (lo_cpus, hi_cpus):
             spark = _build(cpus)
             tail = stage_events(spark, n_events)
-            w = replay_run(spark, tail, n_events, f"run{cpus}")
-            best[cpus] = min(best[cpus], w)
+            walls[cpus].append(round(replay_run(spark, tail, n_events, f"run{cpus}"), 2))
+            if r == 0:
+                compute[cpus] = _compute_probe(spark)
             spark.stop()
 
+    best = {c: min(ws) for c, ws in walls.items()}
     eps_lo = n_events / best[lo_cpus]
     eps_hi = n_events / best[hi_cpus]
     efficiency = (eps_hi / eps_lo) / (hi_cpus / lo_cpus)
+    compute_eff = (compute[lo_cpus] / compute[hi_cpus]) / (hi_cpus / lo_cpus)
 
     # -- per-query timings of the oracle-checked suite, at full CPUS ---------
     results: dict[str, float] = {"replay": round(best[hi_cpus], 3)}
@@ -156,6 +178,16 @@ def main() -> None:
                     "events_per_sec_lo": round(eps_lo, 1),
                     "events_per_sec_hi": round(eps_hi, 1),
                     "efficiency": round(efficiency, 3),
+                    "walls_lo_sec": walls[lo_cpus],
+                    "walls_hi_sec": walls[hi_cpus],
+                    "compute_probe_efficiency": round(compute_eff, 3),
+                    # engine scaling normalized by what the substrate itself
+                    # achieved on embarrassingly-parallel JVM compute in the
+                    # same sessions — isolates engine-plan scaling from
+                    # shared-host steal/bandwidth (see BASELINE.md)
+                    "efficiency_vs_substrate": round(
+                        min(efficiency / compute_eff, 1.0) if compute_eff else 0.0, 3
+                    ),
                     "protocol": f"best-of-{ROUNDS} interleaved (shared-host CPU steal)",
                 },
             }

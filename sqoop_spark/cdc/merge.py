@@ -216,7 +216,11 @@ def merge_frames(
     for k in key_cols:
         p = old[k].eqNullSafe(new_side[f"_k_{k}"])
         cond = p if cond is None else (cond & p)
-    joined = old.join(new_side, cond, "full_outer")
+    # UPDATE_ONLY never emits unmatched new keys → a left join suffices, and
+    # unlike full-outer (which Spark can only run as a shuffle join), a left
+    # join with a small broadcast new side becomes a BroadcastHashJoin.
+    jtype = "left_outer" if mode is MergeMode.UPDATE_ONLY else "full_outer"
+    joined = old.join(new_side, cond, jtype)
 
     has_old = old[key_cols[0]].isNotNull()
     has_new = F.col(f"_k_{key_cols[0]}").isNotNull()
