@@ -134,6 +134,20 @@ def q_cdc_full_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.table.read()
 
 
+def q_cdc_full_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same end-to-end replay through the merge-on-read strategy (delta
+    appends + auto compaction) — must produce the identical final state,
+    checked against the same SQL oracle as the CoW replay."""
+    events = _events(spark, sf_dir, batch_size=2500)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_mor_")
+    engine = CdcEngine.create_table(
+        spark, f"{tmp}/repos", num_buckets=16, merge_strategy="mor",
+        auto_compact_threshold=3,
+    )
+    engine.replay(events)
+    return engine.table.read()
+
+
 def q_newest_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merge plan alone (no lake I/O): one-row-per-key newest-wins."""
     ce = _events(spark, sf_dir)
@@ -399,6 +413,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_full_replay": q_cdc_full_replay,
+        "cdc_full_replay_mor": q_cdc_full_replay_mor,
         "newest_wins_merge": q_newest_wins_merge,
         "newest_wins_salted": q_newest_wins_salted,
         "incremental_append": q_incremental_append,
@@ -473,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "cdc_full_replay": _final_state_sql(batch_size=2500),
+        "cdc_full_replay_mor": _final_state_sql(batch_size=2500),
         "newest_wins_merge": _final_state_sql(),
         "newest_wins_salted": _final_state_sql(),
         "incremental_append": f"""

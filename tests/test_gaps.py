@@ -1,0 +1,126 @@
+"""Cross-feature seams: MoR × schema evolution, concurrent commits,
+free-form query validation parity, salting skew balance."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqoop_spark.cdc import CdcEngine
+from sqoop_spark.datagen import synthesize_change_events
+from sqoop_spark.errors import ConcurrentCommitError, EngineError
+from sqoop_spark.lake import LakeTable
+from sqoop_spark.partitioning import repartition_salted
+from sqoop_spark.sources import freeform_query
+
+
+def test_mor_deltas_survive_schema_evolution(spark, scratch):
+    """Delta files written under the old schema must read correctly after
+    add/rename DDL (column-id mapping + the _op side channel)."""
+    events = synthesize_change_events(spark, 4000, batch_size=2000)
+    eng = CdcEngine.create_table(
+        spark, os.path.join(scratch, "t"), num_buckets=4, merge_strategy="mor"
+    )
+    b0 = events.filter(F.col("batch_id") == 0).drop("batch_id")
+    eng.apply_batch(b0, 0)
+    assert eng.table.delta_file_counts()
+
+    eng.table.add_column("license", "string")
+    eng.table.rename_column("lang", "language")
+
+    out = eng.table.read()
+    assert "license" in out.columns and "language" in out.columns
+    assert out.filter(F.col("license").isNotNull()).count() == 0
+    assert out.filter(F.col("language").isNull()).count() == 0
+
+    # continue the replay under the new schema, then compact across the mix
+    b1 = (
+        events.filter(F.col("batch_id") == 1)
+        .drop("batch_id")
+        .withColumnRenamed("lang", "language")
+        .withColumn("license", F.lit("mit"))
+    )
+    eng.apply_batch(b1, 1)
+    before = eng.table.read().count()
+    eng.compact()
+    assert eng.table.read().count() == before
+    got = eng.table.read()
+    assert got.filter(F.col("license") == "mit").count() > 0
+
+
+def test_concurrent_commit_single_winner(spark, scratch):
+    """Two writers racing the same snapshot version: exactly one wins
+    (optimistic concurrency via O_EXCL manifest link)."""
+    t = LakeTable.create(
+        spark,
+        os.path.join(scratch, "t"),
+        synthesize_change_events(spark, 1).schema,
+        ["repo", "path"],
+        num_buckets=2,
+    )
+    df = synthesize_change_events(spark, 50)
+    # Stage data under two table handles that both believe current is v1,
+    # then commit both — the second manifest link must lose.
+    a = LakeTable.load(spark, t.path)
+    b = LakeTable.load(spark, t.path)
+    ea = a._write_data_files(a._prepare_df(df))
+    eb = b._write_data_files(b._prepare_df(df))
+    a._commit("append", a.manifest()["files"] + ea, None, None, None)
+    with pytest.raises(ConcurrentCommitError):
+        # b still believes current is v1 → tries to write v2 again
+        b._manifest_cache.clear()
+        manifest = {
+            **b.manifest(1),
+            "version": 2,
+            "parent": 1,
+            "operation": "append",
+            "files": b.manifest(1)["files"] + eb,
+        }
+        b._write_manifest(manifest)
+
+
+def test_freeform_requires_conditions_token(spark):
+    with pytest.raises(EngineError, match=r"\$CONDITIONS"):
+        freeform_query(spark, "SELECT 1")
+
+
+def test_freeform_requires_split_by_for_parallel(spark):
+    with pytest.raises(EngineError, match="split-by"):
+        freeform_query(spark, "SELECT 1 WHERE $CONDITIONS", num_mappers=4)
+
+
+def test_freeform_split_union_equals_whole(spark, scratch):
+    ev = synthesize_change_events(spark, 2000, batch_size=500)
+    ev.createOrReplaceTempView("ff_events")
+    q = "SELECT event_seq, repo, path FROM ff_events WHERE op = 'upsert' AND $CONDITIONS"
+    whole = freeform_query(spark, q).toPandas().sort_values("event_seq")
+    split = (
+        freeform_query(spark, q, split_by="event_seq", num_mappers=4)
+        .toPandas()
+        .sort_values("event_seq")
+    )
+    assert whole.reset_index(drop=True).equals(split.reset_index(drop=True))
+    assert (
+        freeform_query(spark, q, split_by="event_seq", num_mappers=4)
+        .rdd.getNumPartitions()
+        >= 4
+    )
+
+
+def test_salted_repartition_balances_hot_key(spark):
+    """One key holding 90% of rows: salted shuffle caps the biggest
+    partition near 1/n_salts of the hot key's rows."""
+    n = 20000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit("hot")).otherwise(F.lit("cold")).alias("repo"),
+        F.lit("p").alias("path"),
+        F.col("id").alias("event_seq"),
+    )
+    plain = df.repartition(8, "repo", "path")
+    plain_sizes = plain.groupBy(F.spark_partition_id().alias("p")).count().toPandas()
+    salted = repartition_salted(df, ["repo", "path"], "event_seq", 8, n_salts=8)
+    salted_sizes = salted.groupBy(F.spark_partition_id().alias("p")).count().toPandas()
+    assert plain_sizes["count"].max() >= 0.9 * n  # the hot key swamped one partition
+    assert salted_sizes["count"].max() < 0.4 * n  # salt spread it out
+    # and the salt never changed the data
+    assert salted.count() == n
