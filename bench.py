@@ -88,16 +88,26 @@ def stage_events(spark, n_events: int) -> str:
     return path
 
 
-def replay_run(spark, tail_path: str, n_events: int, tag: str) -> float:
-    """One full replay of the staged tail; returns wall sec."""
+def replay_run(
+    spark, tail_path: str, n_events: int, tag: str, strategy: str = "cow"
+) -> float:
+    """One full replay of the staged tail; returns wall sec.
+
+    The MoR run includes a final full compaction so both strategies end in
+    the same physical state — the metric means "events fully merged".
+    """
     from sqoop_spark.cdc import CdcEngine
 
     path = os.path.join(SCRATCH, tag)
     shutil.rmtree(path, ignore_errors=True)
     events = spark.read.parquet(tail_path)
-    engine = CdcEngine.create_table(spark, path, num_buckets=NUM_BUCKETS)
+    engine = CdcEngine.create_table(
+        spark, path, num_buckets=NUM_BUCKETS, merge_strategy=strategy
+    )
     t0 = time.time()
     report = engine.replay(events)
+    if strategy == "mor":
+        engine.compact()
     wall = time.time() - t0
     assert report.events_seen == n_events, (report.events_seen, n_events)
     shutil.rmtree(path, ignore_errors=True)
@@ -150,9 +160,14 @@ def main() -> None:
     # -- per-query timings of the oracle-checked suite, at full CPUS ---------
     results: dict[str, float] = {"replay": round(best[hi_cpus], 3)}
     spark = _build(CPUS)
+    # merge-on-read replay+compact on the same tail (the many-batch scale
+    # strategy; at 2 batches CoW wins — see README "Merge strategies")
+    results["replay_mor"] = round(
+        replay_run(spark, stage_events(spark, n_events), n_events, "mor_run", "mor"), 3
+    )
     import __spark_entry__ as entry
 
-    skip = {"cdc_full_replay"}  # covered by the replay runs above
+    skip = {"cdc_full_replay", "cdc_full_replay_mor"}  # covered above
     for name, fn in entry.queries().items():
         if name in skip:
             continue

@@ -238,6 +238,66 @@ def cmd_codegen(args) -> int:
     return 0
 
 
+#: Spark type → Hive type, mirroring hive/HiveTypes.java:56-90 (timestamps
+#: and dates degrade to STRING, decimals to DOUBLE — the reference's lossy
+#: but documented mapping).
+_HIVE_TYPES = {
+    "tinyint": "TINYINT",
+    "smallint": "INT",
+    "int": "INT",
+    "bigint": "BIGINT",
+    "string": "STRING",
+    "boolean": "BOOLEAN",
+    "float": "DOUBLE",
+    "double": "DOUBLE",
+    "date": "STRING",
+    "timestamp": "STRING",
+    "timestamp_ntz": "STRING",
+}
+
+
+def cmd_create_hive_table(args) -> int:
+    """Emit Hive DDL for a table — hive/TableDefWriter.java:119-276 parity.
+
+    The reference generates ``CREATE TABLE [IF NOT EXISTS]`` with its Hive
+    type mapping and fails on unsupported types ("Hive does not support the
+    SQL type..."); here the DDL is printed (or executed with --execute
+    against the session catalog)."""
+    from sqoop_spark.errors import EngineError
+    from sqoop_spark.schema import clean_identifier
+
+    spark = _session(args)
+    df = spark.read.parquet(args.table)
+    cols = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t.startswith("decimal"):
+            hive = "DOUBLE"
+        elif t not in _HIVE_TYPES:
+            raise EngineError(f"Hive does not support the SQL type for column {f.name}")
+        else:
+            hive = _HIVE_TYPES[t]
+        cols.append(f"  `{clean_identifier(f.name)}` {hive}")
+    ine = "IF NOT EXISTS " if args.if_not_exists else ""
+    ddl = (
+        f"CREATE TABLE {ine}`{args.hive_table}` (\n"
+        + ",\n".join(cols)
+        + "\n) ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\054' "
+        "LINES TERMINATED BY '\\012' STORED AS TEXTFILE"
+    )
+    print(ddl)
+    if args.execute:
+        spark.sql(
+            f"CREATE TABLE {ine}`{args.hive_table}` ("
+            + ", ".join(
+                f"`{clean_identifier(f.name)}` {f.dataType.simpleString()}"
+                for f in df.schema.fields
+            )
+            + ") USING parquet"
+        )
+    return 0
+
+
 def cmd_job(args) -> int:
     from sqoop_spark.cdc import JobStore
 
@@ -366,6 +426,13 @@ def build_parser() -> argparse.ArgumentParser:
     cg.add_argument("--table", required=True)
     cg.set_defaults(fn=cmd_codegen)
 
+    cht = sub.add_parser("create-hive-table", help="emit/execute Hive DDL")
+    cht.add_argument("--table", required=True, help="source parquet path")
+    cht.add_argument("--hive-table", required=True)
+    cht.add_argument("--if-not-exists", action="store_true")
+    cht.add_argument("--execute", action="store_true")
+    cht.set_defaults(fn=cmd_create_hive_table)
+
     job = sub.add_parser("job", help="saved jobs")
     job.add_argument("--job-store", default=".sqoop_spark_jobs")
     job.add_argument("--list", action="store_true")
@@ -396,7 +463,32 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def expand_options_files(argv: list[str]) -> list[str]:
+    """``--options-file f`` inlining — Sqoop.java:210-236 /
+    OptionsFileUtil.expandArguments: each non-empty, non-comment line of
+    the file becomes one argument, in place."""
+    out: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--options-file":
+            if i + 1 >= len(argv):
+                raise SystemExit("--options-file requires a path")
+            with open(argv[i + 1]) as f:
+                for line in f:
+                    line = line.strip()
+                    if line and not line.startswith("#"):
+                        out.append(line)
+            i += 2
+        else:
+            out.append(argv[i])
+            i += 1
+    return out
+
+
 def main(argv: Sequence[str] | None = None) -> int:
+    argv = expand_options_files(
+        list(argv) if argv is not None else sys.argv[1:]
+    )
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -330,6 +330,10 @@ class LakeTable:
     def snapshots(self) -> list[SnapshotInfo]:
         out = []
         for v in range(1, (self.current_version() or 0) + 1):
+            if v not in self._manifest_cache and not os.path.exists(
+                os.path.join(self.manifest_dir, f"v{v:08d}.json")
+            ):
+                continue  # expired snapshot
             m = self.manifest(v)
             out.append(
                 SnapshotInfo(
@@ -541,6 +545,40 @@ class LakeTable:
     def rows_in_buckets(self, buckets: Iterable[int]) -> int:
         bs = set(buckets)
         return sum(e["rows"] for e in self.manifest()["files"] if e["bucket"] in bs)
+
+    # -- maintenance ---------------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop old snapshot manifests and delete data files no newer
+        snapshot references (Iceberg expire_snapshots / remove_orphan_files
+        semantics). Keeps the newest ``keep_last`` versions readable; time
+        travel before that window is gone. The current manifest is never
+        touched, so readers of retained versions are unaffected.
+        """
+        current = self.current_version()
+        if current is None or keep_last < 1:
+            raise EngineError("expire_snapshots: need an existing table, keep_last >= 1")
+        cutoff = max(1, current - keep_last + 1)
+        keep_paths: set[str] = set()
+        for v in range(cutoff, current + 1):
+            keep_paths.update(e["path"] for e in self.manifest(v)["files"])
+        removed_files = 0
+        for v in range(1, cutoff):
+            mpath = os.path.join(self.manifest_dir, f"v{v:08d}.json")
+            if not os.path.exists(mpath):
+                continue
+            for e in self.manifest(v)["files"]:
+                full = os.path.join(self.path, e["path"])
+                if e["path"] not in keep_paths and os.path.exists(full):
+                    os.unlink(full)
+                    removed_files += 1
+            os.unlink(mpath)
+            self._manifest_cache.pop(v, None)
+        return {
+            "expired_versions": max(0, cutoff - 1),
+            "removed_files": removed_files,
+            "kept_from": cutoff,
+        }
 
     # -- schema evolution ----------------------------------------------------------
 

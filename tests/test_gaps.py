@@ -124,3 +124,45 @@ def test_salted_repartition_balances_hot_key(spark):
     assert salted_sizes["count"].max() < 0.4 * n  # salt spread it out
     # and the salt never changed the data
     assert salted.count() == n
+
+
+def test_expire_snapshots(spark, scratch):
+    events = synthesize_change_events(spark, 3000, batch_size=1000)
+    eng = CdcEngine.create_table(spark, os.path.join(scratch, "t"), num_buckets=4)
+    eng.replay(events)
+    before = eng.table.read().count()
+    versions_before = eng.table.current_version()
+    info = eng.table.expire_snapshots(keep_last=1)
+    assert info["expired_versions"] == versions_before - 1
+    assert info["removed_files"] > 0
+    assert eng.table.read().count() == before  # current state untouched
+    assert len(eng.table.snapshots()) == 1
+    # expired versions are no longer readable
+    with pytest.raises(Exception):
+        eng.table.read(version=1).count()
+
+
+def test_cli_create_hive_table_and_options_file(spark, scratch, capsys):
+    import json as _json
+
+    from sqoop_spark.cli import main as cli_main
+
+    src = os.path.join(scratch, "t.parquet")
+    spark.range(3).select(
+        F.col("id"), F.lit("x").alias("name"), F.current_timestamp().alias("ts")
+    ).write.parquet(src)
+    rc = cli_main(
+        ["create-hive-table", "--table", src, "--hive-table", "t1", "--if-not-exists"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "CREATE TABLE IF NOT EXISTS `t1`" in out
+    assert "`id` BIGINT" in out and "`name` STRING" in out and "`ts` STRING" in out
+
+    # --options-file expansion (Sqoop options-file parity)
+    opts = os.path.join(scratch, "opts.txt")
+    with open(opts, "w") as f:
+        f.write("# comment\ncodegen\n--table\n" + src + "\n")
+    rc = cli_main(["--options-file", opts])
+    got = _json.loads(capsys.readouterr().out)
+    assert rc == 0 and [c["name"] for c in got["columns"]] == ["id", "name", "ts"]
