@@ -117,6 +117,35 @@ def float_split_points(lo: float, hi: float, num_splits: int) -> list[float]:
     return pts
 
 
+def decimal_split_points(lo, hi, num_splits: int) -> list:
+    """BigDecimalSplitter: decimal interval interpolation
+    (mapreduce/db/BigDecimalSplitter.java:40-155).
+
+    ``tryDivide`` semantics: the step is (hi-lo)/num_splits in exact
+    decimal arithmetic; a tiny-step floor (the reference's MIN_INCREMENT,
+    10000 × Double.MIN_VALUE — here a practical 1e-9) keeps degenerate
+    ranges progressing; the last boundary is pinned to hi (closed
+    interval, matching IntegerSplitter's closed last split).
+    """
+    from decimal import Decimal
+
+    lo, hi = Decimal(lo), Decimal(hi)
+    if num_splits < 1:
+        num_splits = 1
+    span = hi - lo
+    step = span / Decimal(num_splits)
+    min_increment = Decimal("0.000000001")
+    if step < min_increment:
+        step = min_increment
+    pts = []
+    cur = lo
+    while cur < hi and len(pts) <= num_splits:
+        pts.append(cur)
+        cur += step
+    pts.append(hi)
+    return pts
+
+
 def boolean_split_predicates(col: str, with_null: bool = True) -> list[str]:
     """BooleanSplitter: ≤3 splits — FALSE, TRUE, IS NULL (:39-60)."""
     preds = [f"{col} = FALSE", f"{col} = TRUE"]

@@ -60,6 +60,7 @@ def freeform_query(
     num_mappers: int = 1,
     boundary_query: str | None = None,
     split_column_out: str | None = None,
+    autoreset_to_one_mapper: bool = False,
 ) -> DataFrame:
     """Run a ``$CONDITIONS`` free-form query, optionally split ``-m N`` ways.
 
@@ -78,9 +79,14 @@ def freeform_query(
             "Query must contain '$CONDITIONS' in WHERE clause."
         )
     if num_mappers > 1 and split_by is None:
-        raise EngineError(
-            "When importing query results in parallel, you must specify --split-by."
-        )
+        if autoreset_to_one_mapper:
+            # SqlManager.java:637-649: no split key + --autoreset-to-one-mapper
+            # downgrades to a single mapper instead of failing.
+            num_mappers = 1
+        else:
+            raise EngineError(
+                "When importing query results in parallel, you must specify --split-by."
+            )
 
     if num_mappers <= 1:
         return spark.sql(_substitute(query, "1 = 1"))

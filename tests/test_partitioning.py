@@ -136,3 +136,33 @@ def test_detect_hot_keys_and_salting(spark):
     # salting is placement-only: rows unchanged
     assert salted.count() == 1000
     assert "_salt" not in salted.columns
+
+
+def test_decimal_split_points():
+    from decimal import Decimal
+
+    from sqoop_spark.partitioning import decimal_split_points
+
+    pts = decimal_split_points("0", "10", 4)
+    assert pts[0] == Decimal(0) and pts[-1] == Decimal(10)
+    assert len(pts) == 5
+    assert all(pts[i] < pts[i + 1] for i in range(len(pts) - 1))
+    # fractional interval
+    pts = decimal_split_points("1.5", "2.0", 5)
+    assert pts[0] == Decimal("1.5") and pts[-1] == Decimal("2.0")
+    # degenerate near-zero span still terminates with the min-increment floor
+    pts = decimal_split_points("1.0000000000", "1.0000000002", 4)
+    assert pts[-1] == Decimal("1.0000000002") and len(pts) >= 2
+
+
+def test_freeform_autoreset_to_one_mapper(spark):
+    from sqoop_spark.sources import freeform_query
+
+    spark.range(10).createOrReplaceTempView("ar_t")
+    out = freeform_query(
+        spark,
+        "SELECT id FROM ar_t WHERE $CONDITIONS",
+        num_mappers=4,
+        autoreset_to_one_mapper=True,
+    )
+    assert out.count() == 10
