@@ -141,21 +141,20 @@ def main() -> None:
     hi_cpus = max(lo_cpus * 4, 4)
 
     walls: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
-    compute: dict[int, float] = {}
-    for r in range(ROUNDS):
+    compute: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
+    for _ in range(ROUNDS):
         for cpus in (lo_cpus, hi_cpus):
             spark = _build(cpus)
             tail = stage_events(spark, n_events)
             walls[cpus].append(round(replay_run(spark, tail, n_events, f"run{cpus}"), 2))
-            if r == 0:
-                compute[cpus] = _compute_probe(spark)
+            compute[cpus].append(round(_compute_probe(spark), 2))
             spark.stop()
 
     best = {c: min(ws) for c, ws in walls.items()}
     eps_lo = n_events / best[lo_cpus]
     eps_hi = n_events / best[hi_cpus]
     efficiency = (eps_hi / eps_lo) / (hi_cpus / lo_cpus)
-    compute_eff = (compute[lo_cpus] / compute[hi_cpus]) / (hi_cpus / lo_cpus)
+    compute_eff = (min(compute[lo_cpus]) / min(compute[hi_cpus])) / (hi_cpus / lo_cpus)
 
     # -- per-query timings of the oracle-checked suite, at full CPUS ---------
     results: dict[str, float] = {"replay": round(best[hi_cpus], 3)}
