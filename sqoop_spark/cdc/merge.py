@@ -459,9 +459,13 @@ def merge_apply(
     if broadcast_batch:
         new_side = F.broadcast(new_side)
 
+    # Plain equality, not eqNullSafe: null keys were already rejected by
+    # newest_wins_reduce's guard, and null-safe joins key the shuffle on
+    # coalesce(k, ...) expressions — which blocks Catalyst from reusing the
+    # window's hashpartitioning(keys) exchange, double-shuffling the batch.
     cond = None
     for k in key_cols:
-        p = old[k].eqNullSafe(new_side[f"_k_{k}"])
+        p = old[k] == new_side[f"_k_{k}"]
         cond = p if cond is None else (cond & p)
 
     joined = old.join(new_side, cond, "full_outer")
