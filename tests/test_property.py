@@ -1,0 +1,112 @@
+"""Property-based correctness: random event streams vs the pure-Python
+replay model (hypothesis). Catches semantic corners example tests miss —
+duplicate seqs, delete-first streams, key collisions, mode differences."""
+
+import os
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqoop_spark.cdc import CdcEngine
+from sqoop_spark.cdc.merge import MergeMode, merge_frames, newest_wins_reduce
+
+KEYS = [("r0", "a"), ("r0", "b"), ("r1", "a"), ("r1", "c"), ("r2", "z")]
+
+EVENT = st.tuples(
+    st.integers(0, 4),          # key index
+    st.sampled_from(["upsert", "upsert", "upsert", "delete"]),
+    st.text("xyz", min_size=0, max_size=4),  # payload
+)
+STREAM = st.lists(EVENT, min_size=0, max_size=25)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("event_seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+    ]
+)
+
+
+def _df(spark, events):
+    rows = [
+        (KEYS[k][0], KEYS[k][1], payload, seq, op)
+        for seq, (k, op, payload) in enumerate(events)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _model_final(events):
+    """The replay model: ascending seq, delete removes, upsert replaces."""
+    state = {}
+    for seq, (k, op, payload) in enumerate(events):
+        if op == "delete":
+            state.pop(KEYS[k], None)
+        else:
+            state[KEYS[k]] = (payload, seq)
+    return {k: v for k, v in state.items()}
+
+
+def _model_merge(old_events, new_events, mode):
+    old = _model_final(old_events)
+    # reduce new to winner per key (max seq), offset seqs after old's range
+    winners = {}
+    for seq, (k, op, payload) in enumerate(new_events):
+        winners[KEYS[k]] = (op, payload, seq)
+    out = dict(old)
+    for key, (op, payload, seq) in winners.items():
+        if mode is MergeMode.UPSERT:
+            if op == "delete":
+                out.pop(key, None)
+            else:
+                out[key] = (payload, seq)
+        elif mode is MergeMode.UPDATE_ONLY:
+            if key in old and op != "delete":
+                out[key] = (payload, seq)
+        else:  # ALLOW_INSERT
+            if op != "delete":
+                out[key] = (payload, seq)
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=STREAM)
+def test_newest_wins_reduce_matches_model(spark, events):
+    got = newest_wins_reduce(_df(spark, events), ["repo", "path"], "event_seq").toPandas()
+    winners = {}
+    for seq, (k, op, payload) in enumerate(events):
+        winners[KEYS[k]] = (op, payload, seq)
+    assert len(got) == len(winners)
+    for r in got.itertuples():
+        op, payload, seq = winners[(r.repo, r.path)]
+        assert (r.op, r.payload, r.event_seq) == (op, payload, seq)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old_events=STREAM, new_events=STREAM, mode=st.sampled_from(list(MergeMode)))
+def test_merge_frames_matches_model(spark, old_events, new_events, mode):
+    old_state = _model_final(old_events)
+    old_rows = [
+        (k[0], k[1], p, s, "upsert") for k, (p, s) in sorted(old_state.items())
+    ]
+    old_df = spark.createDataFrame(old_rows, SCHEMA).drop("op")
+    # new stream seqs must sort after old snapshot seqs (in-order contract)
+    base = len(old_events)
+    new_rows = [
+        (KEYS[k][0], KEYS[k][1], payload, base + seq, op)
+        for seq, (k, op, payload) in enumerate(new_events)
+    ]
+    new_df = spark.createDataFrame(new_rows, SCHEMA)
+    got = merge_frames(old_df, new_df, ["repo", "path"], "event_seq", mode).toPandas()
+    expected = _model_merge(old_events, new_events, mode)
+    got_map = {
+        (r.repo, r.path): r.payload for r in got.itertuples()
+    }
+    exp_map = {k: p for k, (p, _s) in expected.items()}
+    assert got_map == exp_map, f"mode={mode}"
