@@ -122,6 +122,36 @@ def read_delimited(
     return reader.csv(path)
 
 
+def export_foreach(
+    df: DataFrame,
+    processor,
+    records_per_call: int = 100,
+) -> None:
+    """Per-partition push export — the stored-proc / FieldMapProcessor
+    extension point (mapreduce/JdbcCallExportJob.java `--call`;
+    lib/FieldMapProcessor.java used by hbase/HBasePutProcessor.java:1-205).
+
+    ``processor(rows: list[Row]) -> None`` is invoked on executors with
+    micro-batches of ``records_per_call`` rows (the analog of
+    ``sqoop.export.records.per.statement`` batching,
+    mapreduce/AsyncSqlOutputFormat.java:58-85) — e.g. an executemany, an
+    HTTP bulk call, a KV put batch. The callable must be picklable.
+    """
+    n = max(1, records_per_call)
+
+    def handle(it):
+        buf = []
+        for row in it:
+            buf.append(row)
+            if len(buf) >= n:
+                processor(buf)
+                buf = []
+        if buf:
+            processor(buf)
+
+    df.foreachPartition(handle)
+
+
 def write_avro(df: DataFrame, path: str, compression: str | None = None) -> None:
     """Avro sink (mapreduce/AvroImportMapper.java) — optional dependency."""
     try:

@@ -195,3 +195,32 @@ def test_cli_list_and_import_all_tables(spark, scratch, capsys, tmp_path):
     )
     got = json.loads(capsys.readouterr().out.strip())
     assert got == {"t1": 5, "t2": 5}
+
+
+def _file_processor_factory(outdir):
+    import os as _os
+    import uuid as _uuid
+
+    def process(rows):
+        with open(_os.path.join(outdir, f"{_uuid.uuid4().hex}.txt"), "w") as f:
+            for r in rows:
+                f.write(f"{r['id']}\n")
+
+    return process
+
+
+def test_export_foreach_batching(spark, scratch):
+    from sqoop_spark.sinks import export_foreach
+
+    outdir = os.path.join(scratch, "calls")
+    os.makedirs(outdir)
+    df = spark.range(250).repartition(4)
+    export_foreach(df, _file_processor_factory(outdir), records_per_call=30)
+    seen = []
+    sizes = []
+    for fn in os.listdir(outdir):
+        lines = open(os.path.join(outdir, fn)).read().split()
+        sizes.append(len(lines))
+        seen.extend(int(x) for x in lines)
+    assert sorted(seen) == list(range(250))
+    assert max(sizes) <= 30  # records-per-call respected
