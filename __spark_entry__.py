@@ -148,6 +148,49 @@ def q_cdc_full_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.table.read()
 
 
+def q_lastmodified_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--incremental lastmodified with merge key across TWO runs: first the
+    old half of the tail, then a second run from the saved watermark
+    (inclusive lower bound re-reads the boundary; idempotent merge dedups) —
+    the testUpdateModifyWithTimestamp / testTimestampBoundary shape. Final
+    state must equal a full replay (same SQL oracle)."""
+    events = _events(spark, sf_dir, batch_size=2500)
+    mx = events.agg(F.max("event_seq")).collect()[0][0]
+    mid_ts = (
+        events.filter(F.col("event_seq") == mx // 2).select("event_ts").collect()[0][0]
+    )
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_lm_")
+    engine = CdcEngine.create_table(spark, f"{tmp}/repos", num_buckets=16)
+    r1 = engine.run_incremental(
+        events.filter(F.col("event_ts") < F.lit(mid_ts)),
+        mode=IncrementalMode.LASTMODIFIED,
+        check_column="event_ts",
+    )
+    engine.run_incremental(
+        events,
+        mode=IncrementalMode.LASTMODIFIED,
+        check_column="event_ts",
+        last_value=r1.watermark,
+    )
+    return engine.table.read()
+
+
+def q_saved_job_append_twice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqoop job --exec twice: second run sees no new rows (watermark
+    round-trip + batch fencing); final state equals one full replay."""
+    from sqoop_spark.cdc.checkpoint import JobStore
+
+    events = _events(spark, sf_dir, batch_size=2500)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_job_")
+    engine = CdcEngine.create_table(spark, f"{tmp}/repos", num_buckets=16)
+    store = JobStore(f"{tmp}/jobs")
+    store.create("j1", {"incremental.last.value": None})
+    engine.run_incremental(events, job="j1", job_store=store)
+    second = engine.run_incremental(events, job="j1", job_store=store)
+    assert second.events_seen == 0, "second exec must see no new rows"
+    return engine.table.read()
+
+
 def q_newest_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merge plan alone (no lake I/O): one-row-per-key newest-wins."""
     ce = _events(spark, sf_dir)
@@ -414,6 +457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_full_replay": q_cdc_full_replay,
         "cdc_full_replay_mor": q_cdc_full_replay_mor,
+        "lastmodified_merge_roundtrip": q_lastmodified_merge_roundtrip,
+        "saved_job_append_twice": q_saved_job_append_twice,
         "newest_wins_merge": q_newest_wins_merge,
         "newest_wins_salted": q_newest_wins_salted,
         "incremental_append": q_incremental_append,
@@ -489,6 +534,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_full_replay": _final_state_sql(batch_size=2500),
         "cdc_full_replay_mor": _final_state_sql(batch_size=2500),
+        "lastmodified_merge_roundtrip": _final_state_sql(batch_size=2500),
+        "saved_job_append_twice": _final_state_sql(batch_size=2500),
         "newest_wins_merge": _final_state_sql(),
         "newest_wins_salted": _final_state_sql(),
         "incremental_append": f"""

@@ -260,13 +260,33 @@ class CdcEngine:
             batch_ids = [0]
         else:
             batch_ids = sorted(probe["b"])
+
+        # Fence namespace: a batch id can legitimately reappear in a LATER
+        # incremental window (batch ids follow event_seq; a lastmodified
+        # window follows event_ts), so the fence token is (slice lower
+        # bound, batch id). Crash-resume re-runs the SAME lower bound (the
+        # watermark is saved only after success, mirroring
+        # ImportTool.saveIncrementalState) → same tokens → applied batches
+        # no-op; a new window gets fresh tokens and its boundary re-reads
+        # are deduped by the idempotent merge (the reference's reason for
+        # requiring --merge-key with lastmodified).
+        if last_value is None:
+            _fence = int
+        else:
+            import hashlib as _hashlib
+
+            def _fence(b):
+                digest = _hashlib.sha256(
+                    f"{check_column}|{last_value}|{b}".encode()
+                ).digest()
+                return int.from_bytes(digest[:8], "big") >> 1
         fenced = self.table.fenced_batch_ids()
         for b in batch_ids:
-            if b in fenced:
+            if _fence(b) in fenced:
                 report.skipped_batch_ids.append(b)
                 continue
             batch = sliced.filter(F.col(batch_col) == b).drop(batch_col)
-            stats = self.apply_batch(batch, int(b), **merge_kwargs)
+            stats = self.apply_batch(batch, _fence(b), **merge_kwargs)
             if stats is not None:
                 report.batches.append(stats)
                 report.events_seen += stats.rows_in

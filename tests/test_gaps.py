@@ -166,3 +166,47 @@ def test_cli_create_hive_table_and_options_file(spark, scratch, capsys):
     rc = cli_main(["--options-file", opts])
     got = _json.loads(capsys.readouterr().out)
     assert rc == 0 and [c["name"] for c in got["columns"]] == ["id", "name", "ts"]
+
+
+def test_fence_namespaced_by_slice_window(spark, scratch):
+    """A batch id that reappears in a LATER lastmodified window must not be
+    skipped by the fence of the earlier window (batch ids follow event_seq;
+    windows follow event_ts). Regression for slice-namespaced fencing."""
+    from sqoop_spark.cdc import IncrementalMode
+
+    ev = synthesize_change_events(spark, 2000, batch_size=500)
+    # scramble ts so every batch id spans the whole time range
+    ev = ev.withColumn(
+        "event_ts",
+        F.timestamp_micros(
+            F.lit(1704067200000000)
+            + F.pmod(F.xxhash64("event_seq"), F.lit(10_000)) * 1_000_000
+        ),
+    )
+    eng = CdcEngine.create_table(spark, os.path.join(scratch, "t"), num_buckets=4)
+    mid = ev.selectExpr("percentile(unix_micros(event_ts), 0.5)").collect()[0][0]
+    import datetime as dt
+
+    mid_ts = dt.datetime.utcfromtimestamp(mid / 1e6)
+    r1 = eng.run_incremental(
+        ev.filter(F.col("event_ts") < F.lit(mid_ts)),
+        mode=IncrementalMode.LASTMODIFIED,
+        check_column="event_ts",
+    )
+    assert r1.events_seen > 0
+    r2 = eng.run_incremental(
+        ev,
+        mode=IncrementalMode.LASTMODIFIED,
+        check_column="event_ts",
+        last_value=r1.watermark,
+    )
+    assert r2.events_seen > 0 and not r2.skipped_batch_ids
+    # final state equals a clean full replay of the same events
+    clean = CdcEngine.create_table(spark, os.path.join(scratch, "c"), num_buckets=4)
+    clean.replay(ev)
+    a = eng.table.read().select("repo", "path", "content_sha").toPandas()
+    b = clean.table.read().select("repo", "path", "content_sha").toPandas()
+    key = ["repo", "path"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
