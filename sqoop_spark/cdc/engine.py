@@ -140,10 +140,13 @@ class CdcEngine:
             manifest = self.table.append(
                 df.select(*[c for c in cols if c in df.columns]), batch_id=batch_id
             )
+            parent_paths = {
+                e["path"] for e in self.table.manifest(manifest["parent"])["files"]
+            }
             rows = sum(
                 e["rows"]
                 for e in manifest["files"]
-                if e not in self.table.manifest(manifest["parent"])["files"]
+                if e["path"] not in parent_paths
             )
             return MergeStats(batch_id, rows, 0, 0, rows, 0, 0, self.table.num_buckets)
         stats = merge_apply(

@@ -64,6 +64,7 @@ def _load_source(spark: SparkSession, args):
 
 def cmd_import(args) -> int:
     from sqoop_spark.cdc import CdcEngine, IncrementalMode, JobStore
+    from sqoop_spark.cdc.engine import REPOS_SCHEMA
     from sqoop_spark.cdc.merge import MergeMode
     from sqoop_spark.lake import LakeTable
     from sqoop_spark.schema import apply_type_mapping
@@ -91,9 +92,7 @@ def cmd_import(args) -> int:
         engine = CdcEngine.create_table(
             spark,
             args.target,
-            schema=df.schema
-            if args.schema_from_source
-            else __import__("sqoop_spark.cdc.engine", fromlist=["REPOS_SCHEMA"]).REPOS_SCHEMA,
+            schema=df.schema if args.schema_from_source else REPOS_SCHEMA,
             key_columns=key_cols,
             num_buckets=args.num_buckets,
             merge_mode=MergeMode(args.update_mode) if args.merge_key else None,

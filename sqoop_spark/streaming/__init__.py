@@ -1,1 +1,2 @@
 from sqoop_spark.streaming.foreach import stream_apply  # noqa: F401
+from sqoop_spark.streaming.stateful import latest_state_stream  # noqa: F401

@@ -224,3 +224,48 @@ def test_export_foreach_batching(spark, scratch):
         seen.extend(int(x) for x in lines)
     assert sorted(seen) == list(range(250))
     assert max(sizes) <= 30  # records-per-call respected
+
+
+def test_stateful_latest_state_stream(spark, scratch):
+    """applyInPandasWithState latest-state operator: the emitted per-key
+    state after draining the stream equals the batch newest-wins result,
+    including delete tombstones."""
+    from sqoop_spark.streaming.stateful import latest_state_stream
+
+    events = synthesize_change_events(spark, 2500, batch_size=500)
+    src = os.path.join(scratch, "src")
+    events.write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(src)
+    )
+    q = (
+        latest_state_stream(stream)
+        .writeStream.format("memory")
+        .queryName("latest_state")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("latest_state").toPandas()
+    # last emission per key = the final state
+    final = (
+        out.sort_values("event_seq")
+        .groupby(["repo", "path"], as_index=False)
+        .last()
+    )
+    from sqoop_spark.cdc.merge import newest_wins_reduce
+
+    expected = newest_wins_reduce(events, ["repo", "path"], "event_seq").toPandas()
+    exp_map = {
+        (r.repo, r.path): (r.event_seq, r.op, r.content_sha)
+        for r in expected.itertuples()
+    }
+    got_map = {
+        (r.repo, r.path): (r.event_seq, r.op, r.content_sha)
+        for r in final.itertuples()
+    }
+    assert got_map == exp_map
