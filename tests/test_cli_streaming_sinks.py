@@ -269,3 +269,49 @@ def test_stateful_latest_state_stream(spark, scratch):
         for r in final.itertuples()
     }
     assert got_map == exp_map
+
+
+def test_change_rate_stream_matches_batch(spark, scratch):
+    """Watermarked windowed agg over the tail == the batch aggregation when
+    nothing exceeds the lateness threshold (append mode emits only closed
+    windows, so compare against the batch agg restricted to emitted ones)."""
+    from sqoop_spark.streaming.metrics import change_rate_batch, change_rate_stream
+
+    events = synthesize_change_events(spark, 2000, batch_size=1000)
+    src = os.path.join(scratch, "src")
+    events.write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    q = (
+        change_rate_stream(stream, "5 minutes", "1 minute")
+        .writeStream.format("memory")
+        .queryName("change_rate")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("change_rate").toPandas()
+    exp = change_rate_batch(spark.read.parquet(src), "5 minutes").toPandas()
+    key = ["window_start", "repo"]
+    got = got.sort_values(key).reset_index(drop=True)
+    # append mode withholds windows the watermark hasn't closed — every
+    # emitted row must exactly match its batch twin, and most windows close
+    exp_map = {
+        (r.window_start, r.repo): (r.n_events, r.n_deletes, r.max_seq)
+        for r in exp.itertuples()
+    }
+    assert len(got) > 0
+    for r in got.itertuples():
+        assert exp_map[(r.window_start, r.repo)] == (r.n_events, r.n_deletes, r.max_seq)
+
+
+def test_change_rate_stream_rejects_batch_df(spark):
+    from sqoop_spark.streaming.metrics import change_rate_stream
+
+    with pytest.raises(ValueError, match="streaming"):
+        change_rate_stream(spark.range(3))
