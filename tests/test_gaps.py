@@ -210,3 +210,23 @@ def test_fence_namespaced_by_slice_window(spark, scratch):
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_freeform_boundary_query(spark):
+    """--boundary-query overrides the MIN/MAX probe (TestBoundaryQuery
+    shape): bounds narrower than the data still split correctly and the
+    result set equals the unsplit query (bounds only steer placement)."""
+    ev = synthesize_change_events(spark, 1000, batch_size=1000)
+    ev.createOrReplaceTempView("bq_events")
+    q = "SELECT event_seq, repo FROM bq_events WHERE $CONDITIONS"
+    out = freeform_query(
+        spark,
+        q,
+        split_by="event_seq",
+        num_mappers=4,
+        boundary_query="SELECT 100, 900",
+    )
+    assert out.count() == 1000
+    whole = freeform_query(spark, q).toPandas().sort_values("event_seq")
+    got = out.toPandas().sort_values("event_seq")
+    assert whole.reset_index(drop=True).equals(got.reset_index(drop=True))
