@@ -71,6 +71,27 @@ class ReplayReport:
         )
 
 
+def _coerce_last_value(dtype: T.DataType, value: Any) -> Any:
+    """Parse a stringified watermark back to the check column's type."""
+    if value is None or not isinstance(value, str):
+        return value
+    import datetime as dt
+
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return dt.datetime.fromisoformat(value)
+    if isinstance(dtype, T.DateType):
+        return dt.date.fromisoformat(value)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(value)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(value)
+    if isinstance(dtype, T.DecimalType):
+        from decimal import Decimal
+
+        return Decimal(value)
+    return value
+
+
 class CdcEngine:
     def __init__(
         self,
@@ -215,10 +236,14 @@ class CdcEngine:
                 raise EngineError("job_store required when job is set")
             opts = job_store.read(job)["options"]
             last_value = opts.get("incremental.last.value", last_value)
-            if isinstance(last_value, str) and mode is IncrementalMode.LASTMODIFIED:
-                import datetime as dt
-
-                last_value = dt.datetime.fromisoformat(last_value)
+        # The job store serializes non-JSON values (timestamps, decimals)
+        # as strings, and CLI --last-value is always a string — coerce to
+        # the check column's native type so watermark comparisons never mix
+        # types (the reference auto-quotes per vendor instead,
+        # ConnManager.datetimeToQueryString:782-795).
+        last_value = _coerce_last_value(
+            events.schema[check_column].dataType, last_value
+        )
 
         if (
             mode is IncrementalMode.LASTMODIFIED
@@ -247,7 +272,20 @@ class CdcEngine:
             aggs.append(
                 F.collect_set(F.when(in_slice, F.col(batch_col))).alias("b")
             )
+            # collect_set drops NULLs and the per-batch == filter would
+            # too: a NULL batch id would be silently lost while the
+            # watermark advanced past it — refuse instead.
+            aggs.append(
+                F.max(
+                    F.when(in_slice & F.col(batch_col).isNull(), 1).otherwise(0)
+                ).alias("null_batches")
+            )
         probe = events.agg(*aggs).collect()[0]
+        if has_batches and probe["null_batches"]:
+            raise EngineError(
+                f"NULL values in batch column '{batch_col}' within the "
+                "incremental slice — every change event must carry a batch id"
+            )
 
         sl = incremental_slice(
             events, mode, check_column, last_value, precomputed_max=probe["m"]

@@ -295,24 +295,20 @@ def _merge_apply_mor(
     per_bucket: dict[int, int] = {}
     for e in new_files:
         per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + e["rows"]
-    manifest["lineage"] = {
-        "batch_id": batch_id,
-        "buckets": [{"bucket": b, "rows_out": n} for b, n in sorted(per_bucket.items())],
-        "counters": {
-            "rows_in": rows_in,
-            "delta_rows": rows_out,
-            "delete_markers": deletes,
+    table.patch_lineage(
+        manifest,
+        {
+            "batch_id": batch_id,
+            "buckets": [
+                {"bucket": b, "rows_out": n} for b, n in sorted(per_bucket.items())
+            ],
+            "counters": {
+                "rows_in": rows_in,
+                "delta_rows": rows_out,
+                "delete_markers": deletes,
+            },
         },
-    }
-    import json as _json
-    import os as _os
-
-    path = _os.path.join(table.manifest_dir, f"v{manifest['version']:08d}.json")
-    tmp = path + ".lineage.tmp"
-    with open(tmp, "w") as f:
-        _json.dump(manifest, f, indent=1)
-    _os.replace(tmp, path)
-    table._manifest_cache[manifest["version"]] = manifest
+    )
 
     hot = [
         b
@@ -400,7 +396,29 @@ def merge_apply(
     batch = batch.observe(obs_in, F.count(F.lit(1)).alias("events_in"))
     if reduce_batch:
         batch = newest_wins_reduce(batch, key_cols, order_col, salt_partitions)
+    else:
+        # The null-key guard normally lives inside the reduce; callers that
+        # skip it still must not write null-keyed rows (MergeMapperBase
+        # null-key error).
+        null_pred = None
+        for k in key_cols:
+            p = F.col(k).isNull()
+            null_pred = p if null_pred is None else (null_pred | p)
+        batch = batch.filter(
+            F.assert_true(
+                ~null_pred,
+                F.lit("null merge key (mirrors MergeMapperBase null-key error)"),
+            ).isNull()
+        )
     if strategy == "mor":
+        if mode is not MergeMode.UPSERT:
+            # UPDATE_ONLY / ALLOW_INSERT need match-against-old knowledge at
+            # write time, which MoR deliberately defers — refuse loudly
+            # rather than silently applying upsert semantics.
+            raise EngineError(
+                f"merge strategy 'mor' supports only UPSERT mode, got {mode.value}; "
+                "use strategy='cow' for export update modes"
+            )
         return _merge_apply_mor(
             table,
             batch,
@@ -480,7 +498,15 @@ def merge_apply(
     # schema; otherwise fall back to the reference's dataset-precedence
     # (the new dataset always wins, MergeReducerBase semantics).
     if order_col in data_cols and f"_n_{order_col}" in new_side.columns:
-        stale = has_new & has_old & (F.col(f"_n_{order_col}") < old[order_col])
+        # A delete with event_seq EQUAL to the stored row's is also stale:
+        # the stored row proves that seq was applied as an upsert, and MoR
+        # resolution breaks the same tie in favor of the upsert
+        # (LakeTable._resolve orders by _op desc) — keep both strategies
+        # byte-identical.
+        new_seq = F.col(f"_n_{order_col}")
+        stale = has_new & has_old & (
+            (new_seq < old[order_col]) | ((new_seq == old[order_col]) & is_delete)
+        )
     else:
         stale = F.lit(False)
 
@@ -587,22 +613,10 @@ def merge_apply(
         "deleted": deleted,
         "old_rows_touched": old_rows_touched,
     }
-    manifest["lineage"] = {
-        "batch_id": batch_id,
-        "buckets": lineage_entries,
-        "counters": counters,
-    }
-    manifest["summary"] = {**manifest["summary"], **counters}
-    # Lineage is advisory metadata; rewrite the committed manifest in place.
-    import json as _json
-    import os as _os
-
-    path = _os.path.join(table.manifest_dir, f"v{manifest['version']:08d}.json")
-    tmp = path + ".lineage.tmp"
-    with open(tmp, "w") as f:
-        _json.dump(manifest, f, indent=1)
-    _os.replace(tmp, path)
-    table._manifest_cache[manifest["version"]] = manifest
+    table.patch_lineage(
+        manifest,
+        {"batch_id": batch_id, "buckets": lineage_entries, "counters": counters},
+    )
 
     return MergeStats(
         batch_id=batch_id,

@@ -345,10 +345,16 @@ def cmd_import_all_tables(args) -> int:
     spark = _session(args)
     exclude = set((args.exclude_tables or "").split(","))
     done = {}
+    from sqoop_spark.lake import LakeTable
+
     for name in _tables_under(args.path):
         if name in exclude:
             continue
-        df = spark.read.parquet(os.path.join(args.path, f"{name}.parquet"))
+        parquet_path = os.path.join(args.path, f"{name}.parquet")
+        if os.path.exists(parquet_path):
+            df = spark.read.parquet(parquet_path)
+        else:  # a lake-table directory listed by _tables_under
+            df = LakeTable.load(spark, os.path.join(args.path, name)).read()
         df.write.mode("overwrite").parquet(os.path.join(args.warehouse_dir, name))
         done[name] = df.count()
     print(json.dumps(done))

@@ -5,14 +5,14 @@ Layout::
     <table>/
       _manifests/
         v00000001.json     — one immutable manifest per snapshot
-        _current           — cached pointer (latest version number)
       data/
         <uuid>/_bucket=K/part-*.zstd.parquet
 
 Commit protocol: a writer prepares data files under a fresh uuid dir, then
-creates ``v{N+1}.json`` with O_EXCL. The exclusive create is the atomic
-commit point (optimistic concurrency — mirrors Iceberg's catalog swap);
-losers raise ``ConcurrentCommitError``. This replaces both Sqoop's
+creates ``v{N+1}.json`` with an exclusive hard link. The exclusive create
+is the atomic commit point (optimistic concurrency — mirrors Iceberg's
+catalog swap); losers raise ``ConcurrentCommitError``; the current version
+is the highest manifest in the directory. This replaces both Sqoop's
 temp-dir rename dance after merge (reference: tool/ImportTool.java:448-505)
 and its staging-table export protocol (mapreduce/ExportJobBase.java:341-478)
 with a single atomic metadata swap.
@@ -168,11 +168,6 @@ class LakeTable:
             ) from None
         finally:
             os.unlink(tmp)
-        cur = os.path.join(self.manifest_dir, "_current")
-        cur_tmp = cur + f".{uuid.uuid4().hex}.tmp"
-        with open(cur_tmp, "w") as f:
-            f.write(str(v))
-        os.replace(cur_tmp, cur)
         self._manifest_cache[v] = manifest
 
     # -- schema --------------------------------------------------------------
@@ -545,6 +540,25 @@ class LakeTable:
     def rows_in_buckets(self, buckets: Iterable[int]) -> int:
         bs = set(buckets)
         return sum(e["rows"] for e in self.manifest()["files"] if e["bucket"] in bs)
+
+    def patch_lineage(
+        self, manifest: dict, lineage: dict, merge_summary: bool = True
+    ) -> None:
+        """Attach advisory lineage/counters to an already-committed manifest.
+
+        Lineage is metadata about the commit, not part of the atomic swap —
+        the commit's correctness never depends on it, so an in-place
+        rewrite (tmp + rename) of the committed manifest file is safe.
+        """
+        manifest["lineage"] = lineage
+        if merge_summary and lineage.get("counters"):
+            manifest["summary"] = {**manifest.get("summary", {}), **lineage["counters"]}
+        path = os.path.join(self.manifest_dir, f"v{manifest['version']:08d}.json")
+        tmp = path + ".lineage.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, path)
+        self._manifest_cache[manifest["version"]] = manifest
 
     # -- maintenance ---------------------------------------------------------------
 

@@ -28,9 +28,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sqoop_spark.errors import EngineError
-from sqoop_spark.partitioning import assign_range_split, integer_split_points
+from sqoop_spark.partitioning import (
+    assign_range_split,
+    date_split_points,
+    decimal_split_points,
+    float_split_points,
+    integer_split_points,
+    text_split_points,
+)
 
 CONDITIONS_TOKEN = "$CONDITIONS"
+
+
+def _split_points_for(lo, hi, num_splits: int) -> list:
+    """Dispatch on the bounding-value type — the splitter-per-SQL-type
+    table of DataDrivenDBInputFormat.getSplitter (reference :129-139)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    if isinstance(lo, bool):
+        raise EngineError("use BooleanSplitter predicates for boolean split-by")
+    if isinstance(lo, int):
+        return integer_split_points(int(lo), int(hi), num_splits)
+    if isinstance(lo, dt.datetime):
+        return date_split_points(lo, hi, num_splits)
+    if isinstance(lo, dt.date):
+        lo_dt = dt.datetime(lo.year, lo.month, lo.day)
+        hi_dt = dt.datetime(hi.year, hi.month, hi.day)
+        return [p.date() for p in date_split_points(lo_dt, hi_dt, num_splits)]
+    if isinstance(lo, Decimal):
+        return decimal_split_points(lo, hi, num_splits)
+    if isinstance(lo, float):
+        return float_split_points(lo, hi, num_splits)
+    if isinstance(lo, str):
+        return text_split_points(lo, hi, num_splits)
+    raise EngineError(f"unsupported split-by value type: {type(lo).__name__}")
 
 
 def _substitute(query: str, clause: str) -> str:
@@ -96,7 +128,7 @@ def freeform_query(
     if lo is None:
         # empty source: the reference emits a single IS NULL split
         return df.filter(F.col(split_by).isNull())
-    pts = integer_split_points(int(lo), int(hi), num_mappers)
+    pts = _split_points_for(lo, hi, num_mappers)
     out = assign_range_split(df, split_by, pts, out_col="_split_id")
     out = out.repartitionByRange(len(pts) - 1, F.col("_split_id"))
     if split_column_out:

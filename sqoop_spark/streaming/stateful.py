@@ -39,11 +39,15 @@ def _fold(key, pdf_iter, state: GroupState):
             continue
         pdf = pdf.sort_values(["event_seq", "op"], ascending=[False, False])
         top = pdf.iloc[0]
+
+        def _s(v):
+            return None if pd.isna(v) else str(v)
+
         cand = (
             int(top["event_seq"]),
             str(top["op"]),
-            str(top["commit"]),
-            str(top["content_sha"]),
+            _s(top["commit"]),
+            _s(top["content_sha"]),
         )
         if (best is None or cand[0] > best[0]) and cand != best:
             best, changed = cand, True

@@ -230,3 +230,103 @@ def test_freeform_boundary_query(spark):
     whole = freeform_query(spark, q).toPandas().sort_values("event_seq")
     got = out.toPandas().sort_values("event_seq")
     assert whole.reset_index(drop=True).equals(got.reset_index(drop=True))
+
+
+def test_append_saved_job_timestamp_check_column(spark, scratch):
+    """APPEND watermark on a timestamp column round-trips the job store
+    (stringified by JSON) without type errors (review regression)."""
+    from sqoop_spark.cdc import IncrementalMode, JobStore
+
+    ev = synthesize_change_events(spark, 1000, batch_size=500)
+    eng = CdcEngine.create_table(spark, os.path.join(scratch, "t"), num_buckets=4)
+    store = JobStore(os.path.join(scratch, "jobs"))
+    store.create("j", {"incremental.last.value": None})
+    r1 = eng.run_incremental(
+        ev, mode=IncrementalMode.APPEND, check_column="event_ts",
+        job="j", job_store=store,
+    )
+    assert r1.events_seen == 1000
+    # watermark persisted as an ISO string; second exec must parse it back
+    assert isinstance(store.show("j")["incremental.last.value"], str)
+    r2 = eng.run_incremental(
+        ev, mode=IncrementalMode.APPEND, check_column="event_ts",
+        job="j", job_store=store,
+    )
+    assert r2.events_seen == 0
+
+
+def test_mor_rejects_update_modes(spark, scratch):
+    from sqoop_spark.cdc.merge import MergeMode
+
+    eng = CdcEngine.create_table(
+        spark, os.path.join(scratch, "t"), num_buckets=4,
+        merge_mode=MergeMode.UPDATE_ONLY, merge_strategy="mor",
+    )
+    with pytest.raises(EngineError, match="supports only UPSERT"):
+        eng.apply_batch(synthesize_change_events(spark, 10), 0)
+
+
+def test_null_batch_id_rejected(spark, scratch):
+    ev = synthesize_change_events(spark, 100, batch_size=50).withColumn(
+        "batch_id",
+        F.when(F.col("event_seq") % 7 == 0, F.lit(None)).otherwise(F.col("batch_id")),
+    )
+    eng = CdcEngine.create_table(spark, os.path.join(scratch, "t"), num_buckets=4)
+    with pytest.raises(EngineError, match="NULL values in batch column"):
+        eng.replay(ev)
+
+
+def test_equal_seq_delete_cow_mor_agree(spark, scratch):
+    """A delete with event_seq equal to the stored row's: both strategies
+    must keep the stored upsert (review regression — they disagreed)."""
+    base = synthesize_change_events(spark, 50, batch_size=50)
+    dup_delete = (
+        base.filter(F.col("op") == "upsert")
+        .limit(5)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("batch_id", F.lit(1).cast("bigint"))
+    )
+    finals = {}
+    for strat in ("cow", "mor"):
+        eng = CdcEngine.create_table(
+            spark, os.path.join(scratch, strat), num_buckets=4, merge_strategy=strat
+        )
+        eng.apply_batch(base.drop("batch_id"), 0)
+        eng.apply_batch(dup_delete.drop("batch_id"), 1)
+        finals[strat] = (
+            eng.table.read()
+            .select("repo", "path", "event_seq")
+            .toPandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+    assert finals["cow"].equals(finals["mor"])
+    # and the equal-seq delete did NOT remove any rows: final state equals
+    # a replay of base alone
+    ref = CdcEngine.create_table(spark, os.path.join(scratch, "ref"), num_buckets=4)
+    ref.apply_batch(base.drop("batch_id"), 0)
+    assert len(finals["cow"]) == ref.table.read().count()
+
+
+def test_unreduced_null_key_rejected(spark, scratch):
+    from sqoop_spark.cdc.merge import merge_apply
+    from sqoop_spark.lake import LakeTable
+
+    ev = synthesize_change_events(spark, 20)
+    t = LakeTable.create(
+        spark, os.path.join(scratch, "t"), ev.drop("batch_id").schema, ["repo", "path"],
+        num_buckets=2,
+    )
+    bad = ev.drop("batch_id").withColumn(
+        "repo", F.when(F.col("event_seq") == 3, F.lit(None)).otherwise(F.col("repo"))
+    )
+    with pytest.raises(Exception, match="null merge key"):
+        merge_apply(t, bad, batch_id=0, reduce_batch=False)
+
+
+def test_freeform_timestamp_split_by(spark):
+    ev = synthesize_change_events(spark, 500, batch_size=500)
+    ev.createOrReplaceTempView("ts_events")
+    q = "SELECT event_seq, event_ts FROM ts_events WHERE $CONDITIONS"
+    out = freeform_query(spark, q, split_by="event_ts", num_mappers=4)
+    assert out.count() == 500
