@@ -110,3 +110,36 @@ def test_merge_frames_matches_model(spark, old_events, new_events, mode):
     }
     exp_map = {k: p for k, (p, _s) in expected.items()}
     assert got_map == exp_map, f"mode={mode}"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=STREAM, strategy=st.sampled_from(["cow", "mor"]))
+def test_engine_replay_matches_model(spark, tmp_path_factory, events, strategy):
+    """End-to-end engine replay (either strategy) equals the replay model
+    for arbitrary streams, including delete-only and empty streams."""
+    import os
+
+    from sqoop_spark.cdc import CdcEngine
+
+    d = str(tmp_path_factory.mktemp("prop"))
+    # batch ids derive from seq ranges (never decrease along seq order —
+    # the CoW in-order contract)
+    n = max(1, len(events))
+    df = _df(spark, events).withColumn(
+        "batch_id", (F.col("event_seq") * 3 / n).cast("long")
+    )
+    eng = CdcEngine.create_table(
+        spark,
+        os.path.join(d, "t"),
+        schema=df.drop("batch_id", "op").schema,
+        key_columns=("repo", "path"),
+        num_buckets=4,
+        merge_strategy=strategy,
+        fingerprint=False,
+    )
+    eng.replay(df)
+    got = {
+        (r.repo, r.path): (r.payload, r.event_seq)
+        for r in eng.table.read().collect()
+    }
+    assert got == _model_final(events), strategy
