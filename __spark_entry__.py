@@ -3,7 +3,9 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``queries()[name]`` at sf=0.01 and compares it against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
-value-hash → CORRECTNESS_r{N}.json).
+value-hash → CORRECTNESS_r{N}.json). Queries with no ``oracle_sql`` entry
+(xxhash64-based LSH/SimHash, the multimodal stub — not expressible in
+DuckDB) get the driver's weaker rows-only check, per the driver contract.
 
 Every query exercises a real operator of the ``sqoop_spark`` CDC engine
 (SURVEY.md §2): the change-event tail is *derived* from the shared
@@ -15,6 +17,7 @@ transforms — has an independently-computed ANSI-SQL oracle.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -49,6 +52,15 @@ from sqoop_spark.sources import freeform_query
 from sqoop_spark.transforms import make_normalize_udf, parse_boolean_udf, sha256_udf
 
 TABLE_COLS = "repo, path, commit, lang, content, content_sha, event_seq, event_ts"
+
+
+def _materialize_and_clean(df: DataFrame, tmp_dir: str) -> DataFrame:
+    """Eagerly checkpoint a temp-table read so the backing table dir can be
+    deleted before returning (repeated driver/bench invocations must not
+    leak lake tables into /tmp)."""
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -131,7 +143,7 @@ def q_cdc_full_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="sqoop_spark_replay_")
     engine = CdcEngine.create_table(spark, f"{tmp}/repos", num_buckets=16)
     engine.replay(events)
-    return engine.table.read()
+    return _materialize_and_clean(engine.table.read(), tmp)
 
 
 def q_cdc_full_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +157,7 @@ def q_cdc_full_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         auto_compact_threshold=3,
     )
     engine.replay(events)
-    return engine.table.read()
+    return _materialize_and_clean(engine.table.read(), tmp)
 
 
 def q_lastmodified_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,7 +184,7 @@ def q_lastmodified_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         check_column="event_ts",
         last_value=r1.watermark,
     )
-    return engine.table.read()
+    return _materialize_and_clean(engine.table.read(), tmp)
 
 
 def q_saved_job_append_twice(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,7 +200,7 @@ def q_saved_job_append_twice(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.run_incremental(events, job="j1", job_store=store)
     second = engine.run_incremental(events, job="j1", job_store=store)
     assert second.events_seen == 0, "second exec must see no new rows"
-    return engine.table.read()
+    return _materialize_and_clean(engine.table.read(), tmp)
 
 
 def q_newest_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,9 +255,15 @@ def q_merge_upsert_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_split_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IntegerSplitter interval math: rows per split at -m 8."""
+    """IntegerSplitter interval math: rows per split at -m 8.
+
+    The closed-form SQL oracle mirrors the even-interval/remainder-spread
+    formula, which requires span > num_splits (degenerate ranges take the
+    splitter's duplicate-hi closing branch instead — covered by
+    tests/test_partitioning.py, not reachable on the driver fixtures)."""
     ce = _events(spark, sf_dir)
     row = ce.agg(F.min("event_seq").alias("lo"), F.max("event_seq").alias("hi")).collect()[0]
+    assert row["hi"] - row["lo"] > 8, "oracle requires span > num_splits"
     pts = integer_split_points(int(row["lo"]), int(row["hi"]), 8)
     out = assign_range_split(ce, "event_seq", pts, out_col="split_id")
     return out.groupBy("split_id").agg(F.count(F.lit(1)).alias("n_rows"))
