@@ -315,3 +315,52 @@ def test_change_rate_stream_rejects_batch_df(spark):
 
     with pytest.raises(ValueError, match="streaming"):
         change_rate_stream(spark.range(3))
+
+
+def test_cli_export_modes(spark, scratch, capsys):
+    """export tool: blind insert, allowinsert merge into an existing
+    target, and delimited-text format (ExportTool dispatch parity)."""
+    events = synthesize_change_events(spark, 1000, batch_size=500)
+    lake = os.path.join(scratch, "lake")
+    eng = CdcEngine.create_table(spark, lake, num_buckets=4)
+    eng.replay(events)
+    n_lake = eng.table.read().count()
+
+    # 1. blind insert (no --update-key): target created from scratch
+    tgt = os.path.join(scratch, "out_parquet")
+    rc = cli_main(["export", "--source", lake, "--target-table", tgt])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip())["rows"] == n_lake
+
+    # 2. allowinsert merge into the existing target: re-export is a no-op
+    #    row-count-wise (same keys upserted)
+    rc = cli_main(
+        [
+            "export", "--source", lake, "--target-table", tgt,
+            "--update-key", "repo,path", "--update-mode", "allowinsert",
+        ]
+    )
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip())["rows"] == n_lake
+
+    # 3. text format with the Sqoop null-string default
+    txt = os.path.join(scratch, "out_text")
+    rc = cli_main(
+        ["export", "--source", lake, "--target-table", txt, "--format", "text"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out == {"rows": n_lake, "format": "text"}
+    assert any(f.startswith("part-") for f in os.listdir(txt))
+
+
+def test_validate_replay_helper(spark, scratch):
+    from sqoop_spark.errors import ValidationFailure
+    from sqoop_spark.validation import validate_replay
+
+    ev = synthesize_change_events(spark, 500, batch_size=500)
+    eng = CdcEngine.create_table(spark, os.path.join(scratch, "t"), num_buckets=4)
+    report = eng.replay(ev)
+    assert validate_replay(report, 500).ok
+    with pytest.raises(ValidationFailure):
+        validate_replay(report, 501)
