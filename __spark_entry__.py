@@ -173,8 +173,14 @@ def q_lastmodified_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     )
     tmp = tempfile.mkdtemp(prefix="sqoop_spark_lm_")
     engine = CdcEngine.create_table(spark, f"{tmp}/repos", num_buckets=16)
+    from sqoop_spark.cdc.watermark import typed_lit
+
     r1 = engine.run_incremental(
-        events.filter(F.col("event_ts") < F.lit(mid_ts)),
+        # timezone-proof literal — a bare datetime lit shifts under a
+        # non-UTC driver session (see watermark.typed_lit)
+        events.filter(
+            F.col("event_ts") < typed_lit(mid_ts, events.schema["event_ts"].dataType)
+        ),
         mode=IncrementalMode.LASTMODIFIED,
         check_column="event_ts",
     )

@@ -263,10 +263,19 @@ class CdcEngine:
         # vs a separate watermark probe + DISTINCT pass.
         has_batches = batch_col in events.columns
         c = F.col(check_column)
+        # typed literal — see watermark.typed_lit: naive datetimes must not
+        # round-trip through system/session timezones against NTZ columns
+        from sqoop_spark.cdc.watermark import typed_lit
+
+        _lv = (
+            typed_lit(last_value, events.schema[check_column].dataType)
+            if last_value is not None
+            else None
+        )
         if mode is IncrementalMode.APPEND:
-            in_slice = c > F.lit(last_value) if last_value is not None else F.lit(True)
+            in_slice = c > _lv if _lv is not None else F.lit(True)
         else:
-            in_slice = c >= F.lit(last_value) if last_value is not None else F.lit(True)
+            in_slice = c >= _lv if _lv is not None else F.lit(True)
         aggs = [F.max(c).alias("m")]
         if has_batches:
             aggs.append(

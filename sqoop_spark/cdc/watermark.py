@@ -84,6 +84,25 @@ def _check_column_type(df: DataFrame, check_column: str, mode: IncrementalMode):
     return field.dataType
 
 
+def typed_lit(value: Any, dtype: T.DataType) -> F.Column:
+    """A literal that compares exactly against a column of ``dtype``.
+
+    PySpark converts a naive ``datetime`` literal to TIMESTAMP using the
+    JVM *system* timezone, while TIMESTAMP→TIMESTAMP_NTZ casts render in
+    the *session* timezone — when the two differ (driver environments
+    vary), a watermark bound silently shifts by the offset. Routing
+    datetimes through an ISO string → NTZ/TIMESTAMP cast keeps the wall
+    time byte-exact with no timezone involved.
+    """
+    if isinstance(dtype, (T.TimestampNTZType, T.TimestampType)) and isinstance(
+        value, dt.datetime
+    ):
+        return F.lit(value.isoformat(sep=" ")).cast(dtype)
+    if isinstance(dtype, T.DateType) and isinstance(value, dt.date):
+        return F.lit(value.isoformat()).cast(dtype)
+    return F.lit(value).cast(dtype)
+
+
 def incremental_slice(
     df: DataFrame,
     mode: IncrementalMode,
@@ -97,8 +116,13 @@ def incremental_slice(
     (e.g. in a combined aggregation with batch-id discovery) skip the extra
     pass; pass the probed value (None meaning empty source).
     """
-    _check_column_type(df, check_column, mode)
+    dtype = _check_column_type(df, check_column, mode)
     c = F.col(check_column)
+
+    def lit(v):
+        # Literals MUST carry the check column's exact type with no
+        # timezone round-trip — see typed_lit.
+        return typed_lit(v, dtype)
 
     # Watermark probe — the MAX(check_col) scalar query the reference pushes
     # to the database (ImportTool.java:214-282). One map-side-combined agg.
@@ -113,13 +137,13 @@ def incremental_slice(
         return IncrementalSlice(df=sliced, lower=last_value, upper=last_value, empty=True)
 
     if mode is IncrementalMode.APPEND:
-        pred = c <= F.lit(upper)
+        pred = c <= lit(upper)
         if last_value is not None:
             if last_value >= upper:
                 return IncrementalSlice(
                     df=df.limit(0), lower=last_value, upper=last_value, empty=True
                 )
-            pred = pred & (c > F.lit(last_value))
+            pred = pred & (c > lit(last_value))
         return IncrementalSlice(df=df.filter(pred), lower=last_value, upper=upper, empty=False)
 
     # LASTMODIFIED: closed-open [last_value, max + 1µs).
@@ -128,7 +152,7 @@ def incremental_slice(
         return IncrementalSlice(
             df=df.limit(0), lower=last_value, upper=last_value, empty=True
         )
-    pred = c < F.lit(bound)
+    pred = c < lit(bound)
     if last_value is not None:
-        pred = pred & (c >= F.lit(last_value))
+        pred = pred & (c >= lit(last_value))
     return IncrementalSlice(df=df.filter(pred), lower=last_value, upper=bound, empty=False)
