@@ -33,7 +33,7 @@ import pyarrow.parquet as pq  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
-ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3") or 3)
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2") or 2)
 # RAM-backed scratch when available: the bench measures engine compute, not
 # the sandbox's single local disk.
 _SHM = "/dev/shm"
