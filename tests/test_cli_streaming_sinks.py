@@ -81,7 +81,7 @@ def test_stream_apply_matches_batch_replay(spark, scratch):
         spark, os.path.join(scratch, "tbl"), num_buckets=8, merge_strategy="mor"
     )
     q = stream_apply(engine, stream, os.path.join(scratch, "ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not drain in time"
 
     got = (
         engine.table.read()
@@ -99,7 +99,7 @@ def test_stream_apply_matches_batch_replay(spark, scratch):
         spark.read.parquet(src).schema
     ).parquet(src)
     q2 = stream_apply(engine, stream2, os.path.join(scratch, "ckpt"))
-    q2.awaitTermination(60)
+    assert q2.awaitTermination(300), "restarted stream did not drain in time"
     assert engine.table.fenced_batch_ids() == fenced_before
 
 
@@ -249,7 +249,7 @@ def test_stateful_latest_state_stream(spark, scratch):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "stateful stream did not drain in time"
     out = spark.table("latest_state").toPandas()
     # last emission per key = the final state
     final = (
@@ -294,7 +294,7 @@ def test_change_rate_stream_matches_batch(spark, scratch):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "metrics stream did not drain in time"
     got = spark.table("change_rate").toPandas()
     exp = change_rate_batch(spark.read.parquet(src), "5 minutes").toPandas()
     key = ["window_start", "repo"]
