@@ -34,6 +34,7 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from dataclasses import dataclass
@@ -44,6 +45,8 @@ from pyspark.sql import functions as F
 
 from sqoop_spark.errors import EngineError
 from sqoop_spark.lake import LakeTable
+
+_log = logging.getLogger(__name__)
 
 
 class MergeMode(Enum):
@@ -78,16 +81,39 @@ class MergeStats:
 def _safe_observation(obs: Observation, timeout_s: float = 10.0) -> dict:
     """Read an Observation without ever blocking the caller forever.
 
-    ``Observation.get`` waits on a QueryExecutionListener event that (a)
-    never fires when AQE's empty-relation propagation eliminated the
+    ``Observation.get`` (the supported API) waits on a row that (a) never
+    arrives when AQE's empty-relation propagation eliminated the
     CollectMetrics node, and (b) never reaches the original session's bus
     when the plan executed under ``foreachBatch``'s cloned session. Both
-    are survivable: poll the JVM's non-blocking ``getRowOrEmpty`` with a
-    deadline and treat a miss as "no metrics" — callers fall back to
-    manifest-derived counts.
+    are survivable: try the public ``get`` first in a daemon thread with a
+    deadline, then fall back to polling the JVM's non-blocking
+    ``getRowOrEmpty``. A complete miss is WARN-logged (not silent) because
+    every counter then reports 0 and rows_in-based validation goes vacuous
+    — callers fall back to manifest-derived counts.
     """
     import time as _t
 
+    def _public_get_with_deadline(budget_s: float) -> dict | None:
+        """Public ``obs.get`` in a daemon thread so a never-arriving row
+        can't block the caller."""
+        import threading
+
+        holder: dict = {}
+
+        def _run() -> None:
+            try:
+                holder["row"] = dict(obs.get)
+            except Exception as e:  # pragma: no cover - listener-state dependent
+                holder["err"] = e
+
+        th = threading.Thread(target=_run, daemon=True, name="obs-get")
+        th.start()
+        th.join(budget_s)
+        return holder.get("row")
+
+    # Probe row EXISTENCE non-blockingly (private but tiny surface); once it
+    # exists, the public get returns immediately — extraction always goes
+    # through the supported API and nothing runs concurrently.
     deadline = _t.time() + timeout_s
     try:
         jo = obs._jo
@@ -96,19 +122,36 @@ def _safe_observation(obs: Observation, timeout_s: float = 10.0) -> dict:
         while True:
             jopt = jo.getRowOrEmpty()  # scala Option[Row]
             if jopt is not None and jopt.isDefined():
-                from pyspark.serializers import CPickleSerializer
-
-                utils = getattr(
-                    obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
-                )
-                return CPickleSerializer().loads(utils.toPyRow(jopt.get())).asDict(
-                    recursive=False
-                )
+                jrow = jopt.get()
+                if jrow.length() == 0 or jrow.schema() is None:
+                    # AQE empty-relation propagation eliminated the metrics
+                    # subtree and left an empty schemaless row (e.g. the
+                    # old side of batch 0 on a fresh table) — legitimately
+                    # "no metrics", and the public get would assert on it.
+                    _log.debug("Observation row empty (AQE-eliminated subtree)")
+                    return {}
+                return dict(obs.get)
             if _t.time() >= deadline:
-                return {}
+                break
             _t.sleep(0.05)
-    except Exception:
+    except Exception as e:
+        # Probe surface changed (PySpark upgrade) — fall back to the public
+        # get alone, still deadline-bounded.
+        row = _public_get_with_deadline(max(0.5, deadline - _t.time()))
+        if row is not None:
+            return row
+        _log.warning(
+            "Observation read failed (%s: %s); counters default to 0",
+            type(e).__name__,
+            e,
+        )
         return {}
+    _log.warning(
+        "Observation unavailable after %.1fs (eliminated metrics node or "
+        "unreachable listener bus); counters default to 0",
+        timeout_s,
+    )
+    return {}
 
 
 def newest_wins_reduce(
@@ -377,6 +420,27 @@ def merge_apply(
     key_cols = table.key_columns
     if batch_id is not None and table.is_fenced(batch_id):
         raise EngineError(f"batch {batch_id} already applied (fenced)")
+
+    if strategy == "mor":
+        # The write side orders deltas by order_col but read-time resolution
+        # (LakeTable._resolve) orders by the TABLE's order_column — a
+        # mismatch would silently diverge from CoW semantics, and an order
+        # column missing from the table schema is dropped by _prepare_df
+        # (delta files would then fail at resolve time). Refuse both, before
+        # any plan references the column.
+        mor_data_cols = [f.name for f in table.schema().fields]
+        if order_col not in mor_data_cols:
+            raise EngineError(
+                f"merge strategy 'mor' requires order column {order_col!r} to be "
+                f"a table column (table has {mor_data_cols}); MoR resolution "
+                "happens at read time and can only order by stored columns"
+            )
+        if order_col != table.order_column:
+            raise EngineError(
+                f"merge strategy 'mor' order_col {order_col!r} differs from the "
+                f"table's order_column property {table.order_column!r}; read-time "
+                "resolution would order by a different column than the writer"
+            )
 
     if op_col not in batch.columns:
         batch = batch.withColumn(op_col, F.lit("upsert"))

@@ -197,13 +197,22 @@ def cmd_export(args) -> int:
             order_col=args.order_column,
             mode=MergeMode(args.update_mode),
         )
-        tmp = args.target_table + ".staging"  # staged-export atomicity analog
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(args.target_table)
+        # Staged-export atomicity (ExportJobBase.java:341-478 analog): the
+        # merged result is fully materialized in a fresh staging dir while
+        # the live target keeps serving, then swapped in via two directory
+        # renames (metadata-only; the reference's ImportTool.java:448-505
+        # rename dance). Never overwrite the live target in place — a crash
+        # mid-rewrite must not lose it.
         import shutil
+        import uuid as _uuid
 
-        shutil.rmtree(tmp, ignore_errors=True)
+        tag = _uuid.uuid4().hex[:8]
+        staging = f"{args.target_table}.staging-{tag}"
+        merged.write.mode("overwrite").parquet(staging)
+        backup = f"{args.target_table}.old-{tag}"
+        os.rename(args.target_table, backup)
+        os.rename(staging, args.target_table)
+        shutil.rmtree(backup, ignore_errors=True)
     else:
         src.write.mode("append" if os.path.exists(args.target_table) else "overwrite").parquet(
             args.target_table

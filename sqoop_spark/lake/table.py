@@ -269,10 +269,12 @@ class LakeTable:
     def order_column(self) -> str:
         return self.manifest().get("properties", {}).get("order_column", "event_seq")
 
-    def _resolve(self, df_with_op: DataFrame) -> DataFrame:
-        """Merge-on-read resolution: newest event per key wins; a winning
-        delete removes the key. One window over the pinned total order —
-        the read-side half of the MoR contract (write side: append_delta)."""
+    def _resolve_winners(self, df_with_op: DataFrame) -> DataFrame:
+        """Newest event per key — ``_op`` retained (winning deletes kept).
+
+        One window over the pinned total order; ties between an upsert and
+        a delete at the same order value go to the upsert (``_op`` desc),
+        matching the CoW stale-delete rule in cdc/merge.py."""
         from pyspark.sql import Window
 
         order = self.order_column
@@ -281,8 +283,18 @@ class LakeTable:
         )
         return (
             df_with_op.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") == 1) & (F.col("_op") != "delete"))
-            .drop("_rn", "_op")
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _resolve(self, df_with_op: DataFrame) -> DataFrame:
+        """Merge-on-read resolution: newest event per key wins; a winning
+        delete removes the key. One window over the pinned total order —
+        the read-side half of the MoR contract (write side: append_delta)."""
+        return (
+            self._resolve_winners(df_with_op)
+            .filter(F.col("_op") != "delete")
+            .drop("_op")
         )
 
     def _entries(self, version: int | None = None, buckets: Iterable[int] | None = None):
@@ -343,7 +355,9 @@ class LakeTable:
 
     # -- writes ------------------------------------------------------------------
 
-    def _write_data_files(self, df: DataFrame, delta: bool = False) -> list[dict]:
+    def _write_data_files(
+        self, df: DataFrame, delta: bool = False, tombstone: bool = False
+    ) -> list[dict]:
         """Write df (current schema + ``_bucket``) as bucket-partitioned parquet.
 
         Returns manifest file entries. One shuffle by ``_bucket`` so each
@@ -387,6 +401,8 @@ class LakeTable:
             }
             if delta:
                 e["delta"] = True
+            if tombstone:
+                e["tombstone"] = True
             return e
 
         if not found:
@@ -485,27 +501,62 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         batch_id: int | None = None,
         summary: dict | None = None,
+        tombstone_horizon=None,
     ) -> dict:
         """Collapse MoR deltas into base files (Iceberg rewrite/compaction).
 
         Resolves newest-wins per key for the chosen buckets and rewrites
         them copy-on-write; a no-op when no deltas exist there.
+
+        Winning delete markers are RETAINED as a small tombstone delta file
+        rather than dropped: discarding them would let a late out-of-order
+        event with a LOWER order value resurrect a deleted key — exactly
+        the out-of-order-epoch case MoR exists to handle. Tombstones carry
+        forward across compactions until ``tombstone_horizon`` is passed:
+        a caller that knows no event with order < horizon can still arrive
+        (its source's ordering watermark) may pass it to age them out.
         """
-        delta_buckets = sorted(self.delta_file_counts())
+        # Tombstone-only buckets are already compacted — re-resolving them
+        # would produce an identical state and a pointless commit. With a
+        # horizon given they ARE targeted, so aged-out tombstones get dropped.
+        delta_buckets = sorted(
+            {
+                e["bucket"]
+                for e in self.manifest()["files"]
+                if e.get("delta")
+                and (tombstone_horizon is not None or not e.get("tombstone"))
+            }
+        )
         if buckets is None:
             target = delta_buckets
         else:
             target = sorted(set(buckets) & set(delta_buckets))
         if not target:
             return self.manifest()
-        resolved = self.read_buckets(target)
-        entries = self._write_data_files(self._prepare_df(resolved))
+        winners = self._resolve_winners(
+            self._read_files(self._entries(buckets=target), with_op=True)
+        ).persist()
+        try:
+            live = winners.filter(F.col("_op") != "delete").drop("_op")
+            entries = self._write_data_files(self._prepare_df(live))
+            tomb = winners.filter(F.col("_op") == "delete")
+            if tombstone_horizon is not None:
+                tomb = tomb.filter(F.col(self.order_column) >= F.lit(tombstone_horizon))
+            tomb_entries = self._write_data_files(
+                self._prepare_df(tomb, extra_cols=("_op",)), delta=True, tombstone=True
+            )
+        finally:
+            winners.unpersist()
         carried = [e for e in self.manifest()["files"] if e["bucket"] not in set(target)]
         return self._commit(
             "compact",
-            carried + entries,
+            carried + entries + tomb_entries,
             batch_id,
-            {**(summary or {}), "compacted_buckets": len(target)},
+            {
+                **(summary or {}),
+                "compacted_buckets": len(target),
+                "tombstones": sum(e["rows"] for e in tomb_entries),
+            },
             None,
         )
 

@@ -132,6 +132,10 @@ def decimal_split_points(lo, hi, num_splits: int) -> list:
     lo, hi = Decimal(lo), Decimal(hi)
     if num_splits < 1:
         num_splits = 1
+    if lo == hi:
+        # zero-width range still yields one closed split [lo, hi], matching
+        # IntegerSplitter's duplicate-hi closing branch
+        return [lo, hi]
     span = hi - lo
     step = span / Decimal(num_splits)
     min_increment = Decimal("0.000000001")
@@ -139,7 +143,9 @@ def decimal_split_points(lo, hi, num_splits: int) -> list:
         step = min_increment
     pts = []
     cur = lo
-    while cur < hi and len(pts) <= num_splits:
+    # strictly < num_splits: with the min-increment floor engaged the loop
+    # could otherwise emit num_splits+1 lows before the hi append
+    while cur < hi and len(pts) < num_splits:
         pts.append(cur)
         cur += step
     pts.append(hi)

@@ -57,9 +57,15 @@ def test_mor_compaction_preserves_state(spark, scratch, events):
     eng.replay(events)
     before = _final(eng)
     eng.compact()
-    assert not eng.table.delta_file_counts()  # all collapsed
+    # all regular deltas collapsed; only tombstone markers may remain
+    # (winning deletes retained so late out-of-order events can't resurrect)
+    remaining = [
+        e for e in eng.table.manifest()["files"]
+        if e.get("delta") and not e.get("tombstone")
+    ]
+    assert not remaining
     assert _final(eng).equals(before)
-    # compacting again is a no-op commit-wise
+    # compacting again is a no-op commit-wise (tombstone-only buckets skip)
     v = eng.table.current_version()
     eng.compact()
     assert eng.table.current_version() == v
@@ -123,3 +129,74 @@ def test_cow_after_mor_deltas(spark, scratch):
         ["repo", "path", "content_sha", "event_seq"]
     ].reset_index(drop=True)
     assert _final(eng).equals(oracle)
+
+
+def _tiny_batch(spark, rows):
+    """rows: list of (path, event_seq, op) on a single repo."""
+    import datetime as dt
+
+    data = [
+        (
+            "r1",
+            p,
+            f"c{seq}",
+            "py",
+            f"content-{seq}",
+            None,
+            seq,
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=seq),
+            op,
+        )
+        for (p, seq, op) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "repo string, path string, commit string, lang string, content string, "
+        "content_sha string, event_seq long, event_ts timestamp, op string",
+    )
+
+
+def test_compaction_retains_delete_tombstones(spark, scratch):
+    """Compaction must RETAIN winning delete markers: dropping them would
+    let a late out-of-order delta with a LOWER event_seq resurrect a
+    deleted key (exactly the late-epoch case streaming MoR handles)."""
+    eng = CdcEngine.create_table(
+        spark, os.path.join(scratch, "tomb"), num_buckets=2, merge_strategy="mor"
+    )
+    eng.apply_batch(
+        _tiny_batch(spark, [("a", 1, "upsert"), ("a", 5, "delete"), ("b", 2, "upsert")]),
+        0,
+    )
+    eng.compact()
+    # tombstone marker for 'a' survived compaction
+    tombs = [e for e in eng.table.manifest()["files"] if e.get("tombstone")]
+    assert sum(e["rows"] for e in tombs) == 1
+    # late, out-of-order: an upsert OLDER than the applied delete
+    eng.apply_batch(_tiny_batch(spark, [("a", 3, "upsert")]), 1)
+    assert eng.table.read().filter("path = 'a'").count() == 0, "key resurrected"
+    # still deleted after a further compaction (tombstone re-retained)
+    eng.compact()
+    assert eng.table.read().filter("path = 'a'").count() == 0
+    assert eng.table.read().count() == 1  # only 'b'
+    # a passed ordering horizon ages the tombstone out
+    eng.table.compact(tombstone_horizon=6)
+    assert not [e for e in eng.table.manifest()["files"] if e.get("tombstone")]
+    assert eng.table.read().count() == 1
+
+
+def test_mor_order_col_validated(spark, scratch):
+    """MoR refuses an order column that is not a table column or differs
+    from the table's order_column property (writes would order by one
+    column while read-time resolution orders by another)."""
+    from sqoop_spark.cdc.merge import merge_apply
+
+    eng = CdcEngine.create_table(
+        spark, os.path.join(scratch, "ovd"), num_buckets=2, merge_strategy="mor"
+    )
+    batch = _tiny_batch(spark, [("a", 1, "upsert")])
+    with pytest.raises(EngineError, match="to be .*a table column|in the table"):
+        merge_apply(eng.table, batch, batch_id=0, order_col="nope", strategy="mor")
+    with pytest.raises(EngineError, match="order_column"):
+        merge_apply(eng.table, batch, batch_id=0, order_col="event_ts", strategy="mor")
+    # nothing got fenced by the refused applies
+    assert eng.table.fenced_batch_ids() == set()

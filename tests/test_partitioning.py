@@ -166,3 +166,18 @@ def test_freeform_autoreset_to_one_mapper(spark):
         autoreset_to_one_mapper=True,
     )
     assert out.count() == 10
+
+
+def test_decimal_split_points_bounds():
+    """Min-increment floor must not overshoot num_splits+1 boundaries, and a
+    zero-width range still yields one closed split (ADVICE r1)."""
+    from decimal import Decimal
+
+    from sqoop_spark.partitioning import decimal_split_points
+
+    # tiny span engages the 1e-9 floor: boundary count stays ≤ num_splits+1
+    pts = decimal_split_points("1.000000000", "1.000000005", 4)
+    assert len(pts) <= 5
+    assert pts[0] == Decimal("1.000000000") and pts[-1] == Decimal("1.000000005")
+    # zero-width range: one closed split, like IntegerSplitter's hi-dup branch
+    assert decimal_split_points("2", "2", 4) == [Decimal(2), Decimal(2)]
