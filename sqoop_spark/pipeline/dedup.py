@@ -9,20 +9,32 @@ core, built Spark-first:
 - ``jaccard_pairs`` — exact n-gram Jaccard via an inverted shingle index:
   explode → self-join on shingle → count intersections → |A∪B| from
   per-doc shingle counts. No O(N²) cross join: only pairs sharing ≥1
-  shingle are materialized, which is the classic scalable formulation.
+  shingle are materialized, and a document-frequency cap drops
+  stopword-like shingles whose postings would otherwise create a
+  quadratic pair blowup (one shingle in 10^6 docs → 10^12 join rows).
 - ``minhash_signatures`` / ``minhash_lsh_pairs`` — MinHash entirely
-  JVM-side: permutation k's hash is ``xxhash64(shingle, k)``, the signature
-  is P ``min`` aggregates in ONE groupBy; LSH bands hash signature slices
-  and a band-bucket self-join yields candidates, verified with exact
-  Jaccard. Shuffle count stays constant in corpus size; band join keys are
-  (band_idx, band_hash) so hot buckets spread across partitions.
+  JVM-side: permutation k's hash is ``xxhash64(shingle, k)`` (or a
+  portable sha256-derived hash — see ``hash_fn``), the signature is P
+  ``min`` aggregates in ONE groupBy; LSH bands hash signature slices and
+  a band-bucket self-join yields candidates. The exact-Jaccard verify
+  step runs ONLY over the candidate documents (shingle postings
+  semi-joined down to candidate ids first) — never the full corpus,
+  which is the whole point of LSH at scale.
 - ``simhash`` — 64-bit SimHash from per-token bit votes, also pure
-  DataFrame ops (explode → 64 conditional sums → bit reassembly).
+  DataFrame ops (explode → conditional sums → bit reassembly).
+
+``hash_fn``: "xxhash64" (default — fastest, JVM-intrinsic) or "sha256"
+(portable: the first 15 hex chars of sha256 as a base-16 integer, a 60-bit
+hash that DuckDB/any ANSI engine computes identically — used by the
+driver-contract oracles so MinHash/SimHash results are independently
+checkable).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from sqoop_spark.errors import EngineError
 
 
 def _shingles(df: DataFrame, text_col: str, k: int) -> DataFrame:
@@ -35,6 +47,23 @@ def _shingles(df: DataFrame, text_col: str, k: int) -> DataFrame:
         idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
     )
     return df.withColumn("_shingle", F.explode(F.array_distinct(sh)))
+
+
+def _hash64(col, salt: int, hash_fn: str):
+    """Seeded 64-bit-ish hash of a string column.
+
+    "xxhash64": Spark's JVM intrinsic (fast path). "sha256": first 15 hex
+    chars of sha256("<salt>|" + value) as a base-16 integer — 60 bits,
+    reproducible in DuckDB as ('0x' || substr(sha256(...), 1, 15))::BIGINT,
+    which is what gives the MinHash/SimHash driver queries a real oracle.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col, F.lit(salt))
+    if hash_fn == "sha256":
+        return F.conv(
+            F.substring(F.sha2(F.concat(F.lit(f"{salt}|"), col), 256), 1, 15), 16, 10
+        ).cast("long")
+    raise EngineError(f"unknown hash_fn {hash_fn!r}; use 'xxhash64' or 'sha256'")
 
 
 def exact_dedup(
@@ -56,22 +85,46 @@ def exact_dedup(
     )
 
 
+def _capped_shingles(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Drop postings of shingles present in more than ``max_doc_freq`` docs.
+
+    A stopword-like shingle with 10^6 postings creates ~10^12 join rows in
+    the inverted-index self-join — the classic web-scale blowup. The hot
+    list is tiny by construction (few shingles exceed the cap), so the
+    anti-join broadcasts. Jaccard stays exact over the FILTERED shingle
+    universe (sizes and intersections both computed post-cap); ubiquitous
+    shingles carry no similarity signal, which is why every production
+    near-dup pipeline drops them.
+    """
+    if max_doc_freq is None:
+        return sh
+    hot = (
+        sh.groupBy("_shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_shingle")
+    )
+    return sh.join(F.broadcast(hot), "_shingle", "left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard similarity join: pairs with J ≥ threshold.
 
     Inverted-index formulation: |A∩B| from a shingle self-join, |A∪B| =
-    |A| + |B| − |A∩B|. Only co-shingled pairs shuffle; a frequency cap on
-    pathological shingles would bound the worst case at web scale (not
-    needed for this corpus' uniform vocabulary).
+    |A| + |B| − |A∩B|. Only co-shingled pairs shuffle; ``max_doc_freq``
+    (default 10 000) bounds the worst case — see ``_capped_shingles``.
+    Pass ``max_doc_freq=None`` for the exact-over-all-shingles variant.
     """
-    sh = _shingles(df, text_col, k).select(
-        F.col(id_col).alias("_id"), "_shingle"
+    sh = _capped_shingles(
+        _shingles(df, text_col, k).select(F.col(id_col).alias("_id"), "_shingle"),
+        max_doc_freq,
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a = sh.alias("a")
@@ -101,13 +154,14 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 5,
     num_perm: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per doc: sig[p] = min over shingles of
-    xxhash64(shingle, p). One explode + one groupBy with P min-aggregates —
+    hash(shingle, p). One explode + one groupBy with P min-aggregates —
     all JVM-side, no Python in the loop."""
     sh = _shingles(df, text_col, k)
     aggs = [
-        F.min(F.xxhash64(F.col("_shingle"), F.lit(p))).alias(f"h{p}")
+        F.min(_hash64(F.col("_shingle"), p, hash_fn)).alias(f"h{p}")
         for p in range(num_perm)
     ]
     sig = sh.groupBy(F.col(id_col)).agg(*aggs)
@@ -115,6 +169,21 @@ def minhash_signatures(
         F.col(id_col),
         F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("signature"),
     )
+
+
+def _band_hash(cols: list, hash_fn: str):
+    """Hash one band's signature slice to a bucket key."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(*cols)
+    # portable: sha256 of the '|'-joined decimal strings (DuckDB twin:
+    # sha256(concat_ws('|', h_i, ...)))
+    return F.conv(
+        F.substring(
+            F.sha2(F.concat_ws("|", *[c.cast("string") for c in cols]), 256), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
 
 
 def minhash_lsh_pairs(
@@ -125,16 +194,21 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup join, exact-Jaccard verified.
 
     Pipeline: signatures → per-band hash → self-join on (band, band_hash)
-    → distinct candidate pairs → verify with exact Jaccard ≥ threshold.
+    → distinct candidate pairs → verify with exact Jaccard ≥ threshold,
+    computed ONLY over the candidate documents: the shingle postings are
+    first semi-joined down to ids appearing in some candidate pair, so the
+    verify cost is O(candidate docs' shingles), not O(corpus) — running
+    the full-corpus exact join here would make LSH pointless at scale.
     The verify step makes results deterministic (LSH only affects recall;
     every emitted pair is truly ≥ threshold).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_perm)
+    sig = minhash_signatures(df, text_col, id_col, k, num_perm, hash_fn)
     banded = sig.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -142,11 +216,12 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
+                        _band_hash(
+                            [
                                 F.element_at("signature", b * rows_per_band + r + 1)
                                 for r in range(rows_per_band)
-                            ]
+                            ],
+                            hash_fn,
                         ).alias("bhash"),
                     )
                     for b in range(bands)
@@ -166,24 +241,63 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    exact = jaccard_pairs(df, text_col, id_col, k, threshold)
-    return cands.join(exact, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "n_common", "jaccard"
+
+    # Exact-Jaccard verify restricted to candidate docs: postings of
+    # non-candidate documents never enter the self-join. The candidate id
+    # set is small relative to the corpus (that's what banding is for), so
+    # the semi-join broadcasts (AQE converts at runtime from actual size).
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_id"))
+        .unionByName(cands.select(F.col("id_b").alias("_id")))
+        .distinct()
     )
+    sh = _shingles(df, text_col, k).select(F.col(id_col).alias("_id"), "_shingle")
+    sh_c = sh.join(cand_ids, "_id", "left_semi")
+    sizes = sh_c.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    sa = sh_c.alias("a")
+    sb = sh_c.alias("b")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("a._shingle") == F.col("b._shingle"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        # only LSH candidate pairs proceed to the union-size join
+        .join(cands, ["id_a", "id_b"], "left_semi")
+    )
+    verified = (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "n_common", "jaccard")
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash: per-token xxhash64 bit votes, sign-aggregated.
+    """SimHash fingerprints: per-token hash bit votes, sign-aggregated.
 
     explode(tokens) → for each bit i a conditional ±1 sum → reassemble the
-    fingerprint. Pure DataFrame ops; the 64 aggregates run in one
-    map-side-combined groupBy.
+    fingerprint. Pure DataFrame ops; the ``bits`` aggregates run in one
+    map-side-combined groupBy. With ``hash_fn="sha256"`` the token hash is
+    60-bit (so bits ≤ 60) but DuckDB-reproducible.
     """
+    if hash_fn == "sha256" and bits > 60:
+        raise EngineError("hash_fn='sha256' provides 60 hash bits; bits must be <= 60")
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_tok")
-    ).withColumn("_h", F.xxhash64("_tok"))
+    ).withColumn("_h", _hash64(F.col("_tok"), 0, hash_fn))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -118,23 +118,45 @@ def lsh_cosine_topk(
     dim: int = 64,
     n_planes: int = 4,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k: search only the query's LSH bucket.
+    """Approximate cosine top-k: search the query's LSH bucket, plus —
+    with ``n_probes > 1`` — its Hamming-1 neighbor buckets (multi-probe).
 
     Recall < 1 by design (verified against ``cosine_topk`` in tests);
     with B buckets the joined volume drops ~B× — the path that survives a
-    10^9-vector corpus where brute force cannot.
+    10^9-vector corpus where brute force cannot. Multi-probe recovers the
+    recall cliff of small ``n_planes``: a vector near a hyperplane lands
+    on either side, so probing the buckets one bit-flip away (query-side
+    fan-out only, corpus untouched) trades k-fold candidate volume for
+    recall without growing the index. ``n_probes`` buckets are probed per
+    query: the home bucket first, then bit-flip neighbors of planes
+    0..n_probes-2 (probing all Hamming-1 neighbors = n_planes + 1).
     """
+    n_probes = max(1, min(n_probes, n_planes + 1))
     sig = lambda df, idname: df.select(  # noqa: E731
         F.col(id_col).alias(idname),
         F.col(vec_col).alias(f"_{idname}_v"),
         _signature(F.col(vec_col), dim, n_planes, seed).alias(f"_{idname}_sig"),
     )
-    q = F.broadcast(sig(queries, "query_id"))
+    qbase = sig(queries, "query_id")
+    # Query-side probe fan-out: home bucket + Hamming-1 neighbors. The
+    # corpus side keeps exactly one bucket per vector.
+    probes = F.array(
+        F.col("_query_id_sig"),
+        *[
+            F.col("_query_id_sig").bitwiseXOR(F.lit(2**p))
+            for p in range(n_probes - 1)
+        ],
+    )
+    q = F.broadcast(
+        qbase.withColumn("_probe_sig", F.explode(probes)).drop("_query_id_sig")
+    )
     c = sig(corpus, "neighbor_id")
     scored = (
-        q.join(c, F.col("_query_id_sig") == F.col("_neighbor_id_sig"))
+        q.join(c, F.col("_probe_sig") == F.col("_neighbor_id_sig"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",

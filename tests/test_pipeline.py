@@ -199,3 +199,105 @@ def test_multimodal_raise_stub(spark):
     media = synthesize_media(spark, 10)
     with pytest.raises(Exception, match="decode requires"):
         extract_features(media, decode_stub="raise").collect()
+
+
+def test_jaccard_doc_freq_cap_bounds_blowup(spark, docs):
+    """A pathological hot shingle shared by every doc must not produce
+    quadratic candidate pairs once max_doc_freq engages."""
+    base = docs.limit(40).select(
+        "doc_id", F.concat(F.lit("common token run glue pad "), F.col("text")).alias("text")
+    )
+    # uncapped: the injected 5-gram co-shingles ALL 40 docs → 780 pairs enter
+    # the intersection join; capped: only genuinely similar pairs survive
+    uncapped = jaccard_pairs(base, k=5, threshold=0.0, max_doc_freq=None).toPandas()
+    assert len(uncapped) == 40 * 39 // 2  # every pair co-shingled via the hot run
+    capped = jaccard_pairs(base, k=5, threshold=0.0, max_doc_freq=10).toPandas()
+    assert len(capped) < len(uncapped) / 4
+    # and the capped jaccard is exact over the filtered shingle universe:
+    # re-derive expected pairs in pandas with the same cap
+    pdf = base.toPandas()
+    shingles = {r.doc_id: _shingle_set(r.text, 5) for r in pdf.itertuples()}
+    from collections import Counter
+
+    df_counts = Counter(s for ss in shingles.values() for s in ss)
+    keep = {s for s, c in df_counts.items() if c <= 10}
+    filtered = {d: ss & keep for d, ss in shingles.items()}
+    exp = set()
+    for a, b in itertools.combinations(sorted(filtered), 2):
+        inter = len(filtered[a] & filtered[b])
+        if inter > 0:
+            exp.add((a, b))
+    assert {(r.id_a, r.id_b) for r in capped.itertuples()} == exp
+
+
+def test_minhash_lsh_verify_restricted_to_candidates(spark, docs):
+    """The exact-Jaccard verify step must read shingles only for candidate
+    docs: the physical plan shows the posting scan behind a left-semi join
+    against the candidate id set (never a full-corpus pair join)."""
+    corpus = docs.limit(120)
+    out = minhash_lsh_pairs(corpus, k=5, num_perm=16, bands=8, threshold=0.7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, "verify step not candidate-restricted"
+    # emitted pairs are still exactly (candidates ∩ exact-threshold pairs)
+    exact = jaccard_pairs(corpus, k=5, threshold=0.7, max_doc_freq=None).toPandas()
+    approx = out.toPandas()
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    assert {(r.id_a, r.id_b) for r in approx.itertuples()} <= exact_pairs
+
+
+def test_minhash_lsh_sha256_portable_hash(spark, docs):
+    """hash_fn='sha256' (the DuckDB-reproducible 60-bit hash) keeps all
+    LSH properties: deterministic, subset-of-exact, high recall at the
+    MinHash operating point."""
+    corpus = docs.limit(120)
+    exact = jaccard_pairs(corpus, k=5, threshold=0.7, max_doc_freq=None).toPandas()
+    a1 = minhash_lsh_pairs(
+        corpus, k=5, num_perm=16, bands=8, threshold=0.7, hash_fn="sha256"
+    ).toPandas()
+    a2 = minhash_lsh_pairs(
+        corpus, k=5, num_perm=16, bands=8, threshold=0.7, hash_fn="sha256"
+    ).toPandas()
+    key = lambda df: sorted((r.id_a, r.id_b) for r in df.itertuples())  # noqa: E731
+    assert key(a1) == key(a2)  # deterministic
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    got = set(key(a1))
+    assert got <= exact_pairs
+    if exact_pairs:
+        assert len(got) / len(exact_pairs) >= 0.8  # recall at 16/8 banding
+
+
+def test_simhash_sha256_mode(spark, docs):
+    """Portable-hash SimHash: deterministic, and bits > 60 rejected."""
+    from sqoop_spark.errors import EngineError
+
+    base = docs.limit(20)
+    f1 = simhash(base, bits=32, hash_fn="sha256").toPandas().sort_values("doc_id")
+    f2 = simhash(base, bits=32, hash_fn="sha256").toPandas().sort_values("doc_id")
+    assert f1.simhash.tolist() == f2.simhash.tolist()
+    with pytest.raises(EngineError, match="60"):
+        simhash(base, bits=64, hash_fn="sha256")
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Hamming-1 multi-probe recovers neighbors a single-bucket probe
+    misses, at fixed n_planes — recall must be monotonically ≥ and
+    strictly better somewhere on this corpus."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=3).toPandas()
+    truth = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+
+    def recall(n_probes):
+        got = lsh_cosine_topk(
+            emb, queries, k=3, n_planes=6, n_probes=n_probes
+        ).toPandas()
+        hits = {(r.query_id, r.neighbor_id) for r in got.itertuples()} & truth
+        return len(hits) / len(truth)
+
+    r1, r_all = recall(1), recall(7)  # 7 = home + all 6 Hamming-1 buckets
+    assert r_all >= r1
+    assert r_all > r1, f"multi-probe did not improve recall ({r1} -> {r_all})"
+    # scores remain exact cosines (verified within-bucket elsewhere); and
+    # multi-probe returns at most k rows per query
+    got = lsh_cosine_topk(emb, queries, k=3, n_planes=6, n_probes=7).toPandas()
+    assert got.groupby("query_id").size().max() <= 3
