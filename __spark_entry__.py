@@ -373,6 +373,22 @@ def q_type_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AvroUtil.toAvro record conversion (avro/AvroUtil.java:83-204) as
+    column expressions: timestamps -> epoch millis, decimals -> padded
+    plain strings, identifier cleaning — DuckDB computes the twin."""
+    from sqoop_spark.avro import avro_record_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    typed = ev.select(
+        F.col("event_id"),
+        F.col("ts"),
+        F.col("value").cast("decimal(12,3)").alias("value dec"),  # needs cleaning
+    )
+    out = avro_record_frame(typed, decimal_padding=True)
+    return out.select("event_id", "ts", "value_dec")
+
+
 def q_watermark_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAX(check_col) watermark probe + MIN/MAX bounding query + COUNT
     validation — the reference's three scalar aggregations."""
@@ -522,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sha256_vectorized": q_sha256_vectorized,
         "parse_boolean": q_parse_boolean,
         "type_mapping": q_type_mapping,
+        "avro_conversions": q_avro_conversions,
         "watermark_probe": q_watermark_probe,
         "hot_keys": q_hot_keys,
         "op_counts": q_op_counts,
@@ -771,6 +788,12 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(event_type AS VARCHAR) AS event_type,
        CAST(value AS DOUBLE) AS value,
        CAST(props AS VARCHAR) AS props
+FROM events
+""",
+        "avro_conversions": """
+SELECT event_id,
+       epoch_ms(ts) AS ts,
+       CAST(CAST(value AS DECIMAL(12,3)) AS VARCHAR) AS value_dec
 FROM events
 """,
         "watermark_probe": f"""

@@ -41,9 +41,56 @@ def _session(args) -> SparkSession:
 
 
 def _load_source(spark: SparkSession, args):
-    """--table (a parquet/lake path) or --query (free-form SQL)."""
+    """--table (a parquet/lake path) or --query (free-form SQL); with
+    --connect jdbc:... the table/query is read over JDBC with the
+    splitter-driven predicate plan (SqlManager.importTable analog)."""
     from sqoop_spark.lake import LakeTable
     from sqoop_spark.sources import freeform_query
+
+    if getattr(args, "connect", None):
+        from sqoop_spark.sources.jdbc import (
+            build_import_plan,
+            bounding_query,
+            jdbc_import,
+            probe_bounds,
+        )
+
+        m = args.num_mappers or 4
+        bounds = None
+        if m > 1:
+            if not args.split_by:
+                from sqoop_spark.errors import EngineError
+
+                raise EngineError(
+                    "When importing query results in parallel, you must "
+                    "specify --split-by."
+                )
+            bsql = bounding_query(
+                args.split_by,
+                table=None if getattr(args, "query", None) else args.table,
+                query=getattr(args, "query", None),
+                where=args.where,
+                boundary_query=getattr(args, "boundary_query", None),
+            )
+            bounds = probe_bounds(
+                spark, args.connect, bsql,
+                {"user": args.username or "", "password": args.password or ""},
+            )
+        plan = build_import_plan(
+            args.connect,
+            table=None if getattr(args, "query", None) else args.table,
+            query=getattr(args, "query", None),
+            columns=[c.strip() for c in args.columns.split(",")] if args.columns else None,
+            where=args.where,
+            split_by=args.split_by,
+            num_mappers=m,
+            bounds=bounds,
+            boundary_query=getattr(args, "boundary_query", None),
+            username=args.username,
+            password=args.password,
+            driver=getattr(args, "jdbc_driver", None),
+        )
+        return jdbc_import(spark, plan)
 
     if getattr(args, "query", None):
         for t in args.register or []:
@@ -176,6 +223,25 @@ def cmd_export(args) -> int:
         if LakeTable.exists(args.source)
         else spark.read.parquet(args.source)
     )
+    if getattr(args, "connect", None):
+        from sqoop_spark.errors import EngineError
+        from sqoop_spark.sources.jdbc import jdbc_export_spark
+
+        if args.update_key:
+            raise EngineError(
+                "JDBC update/upsert export needs a vendor DB-API connection "
+                "factory — use sqoop_spark.sources.jdbc.jdbc_export from the "
+                "API (Spark's writer is INSERT-only)"
+            )
+        jdbc_export_spark(
+            src,
+            args.connect,
+            args.target_table,
+            records_per_statement=args.records_per_statement,
+            properties={"user": args.username or "", "password": args.password or ""},
+        )
+        print(json.dumps({"rows": src.count(), "target": args.target_table}))
+        return 0
     if args.format == "text":
         write_delimited(
             src,
@@ -349,6 +415,31 @@ def cmd_list_tables(args) -> int:
     return 0
 
 
+def cmd_list_databases(args) -> int:
+    """List databases — tool/ListDatabasesTool.java analog.
+
+    On the lake, a "database" is a directory under --path that contains at
+    least one table (parquet file or lake-table dir); with --connect the
+    JDBC catalog would be listed instead (needs a vendor driver on the
+    classpath, same as the reference's manager.listDatabases)."""
+    if getattr(args, "connect", None):
+        spark = _session(args)
+        df = spark.read.jdbc(
+            args.connect,
+            "(SELECT schema_name FROM information_schema.schemata) AS dbs",
+            properties={"user": args.username or "", "password": args.password or ""},
+        )
+        print("\n".join(r[0] for r in df.collect()))
+        return 0
+    out = []
+    for entry in sorted(os.listdir(args.path)):
+        full = os.path.join(args.path, entry)
+        if os.path.isdir(full) and _tables_under(full):
+            out.append(entry)
+    print("\n".join(out))
+    return 0
+
+
 def cmd_import_all_tables(args) -> int:
     """Iterate listTables() minus --exclude-tables (ImportAllTablesTool)."""
     spark = _session(args)
@@ -408,6 +499,11 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--schema-from-source", action="store_true")
     imp.add_argument("--job", help="saved-job name (watermark round-trip)")
     imp.add_argument("--job-store", default=".sqoop_spark_jobs")
+    imp.add_argument("--connect", help="jdbc:... URL — read over JDBC with "
+                     "splitter-driven predicates instead of parquet/lake")
+    imp.add_argument("--username")
+    imp.add_argument("--password")
+    imp.add_argument("--jdbc-driver", help="JDBC driver class name")
     imp.set_defaults(fn=cmd_import)
 
     mrg = sub.add_parser("merge", help="two-dataset newest-wins merge")
@@ -434,6 +530,12 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--null-string", default="null")
     exp.add_argument("--compress", help="codec identifier (CodecMap)")
     exp.add_argument("--num-mappers", "-m", type=int)
+    exp.add_argument("--connect", help="jdbc:... URL — INSERT export through "
+                     "Spark's JDBC writer")
+    exp.add_argument("--username")
+    exp.add_argument("--password")
+    exp.add_argument("--records-per-statement", type=int, default=100,
+                     help="sqoop.export.records.per.statement analog")
     exp.set_defaults(fn=cmd_export)
 
     cg = sub.add_parser("codegen", help="emit schema/cast plan for a table")
@@ -464,6 +566,13 @@ def build_parser() -> argparse.ArgumentParser:
     lt = sub.add_parser("list-tables")
     lt.add_argument("--path", required=True)
     lt.set_defaults(fn=cmd_list_tables)
+
+    ld = sub.add_parser("list-databases")
+    ld.add_argument("--path", help="lake root: dirs containing tables")
+    ld.add_argument("--connect", help="jdbc:... URL (information_schema)")
+    ld.add_argument("--username")
+    ld.add_argument("--password")
+    ld.set_defaults(fn=cmd_list_databases)
 
     iat = sub.add_parser("import-all-tables")
     iat.add_argument("--path", required=True)

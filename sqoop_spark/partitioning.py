@@ -95,15 +95,21 @@ def integer_split_predicates(
 
 
 def date_split_points(
-    lo: dt.datetime, hi: dt.datetime, num_splits: int
+    lo: dt.datetime, hi: dt.datetime, num_splits: int, split_limit: int = -1
 ) -> list[dt.datetime]:
-    """DateSplitter: delegate to integer splits on epoch micros (:30-120)."""
+    """DateSplitter: delegate to integer splits on epoch micros (:30-120).
+
+    ``split_limit`` is in SECONDS (DateSplitter.java:84-120: "the splitLimit
+    value is in seconds" — converted to the epoch unit before delegating),
+    capping each split's time width by re-deriving the split count.
+    """
     epoch = dt.datetime(1970, 1, 1, tzinfo=lo.tzinfo)
     lo_us = int((lo - epoch).total_seconds() * 1_000_000)
     hi_us = int((hi - epoch).total_seconds() * 1_000_000)
+    limit_us = split_limit * 1_000_000 if split_limit > 0 else -1
     return [
         epoch + dt.timedelta(microseconds=us)
-        for us in integer_split_points(lo_us, hi_us, num_splits)
+        for us in integer_split_points(lo_us, hi_us, num_splits, limit_us)
     ]
 
 

@@ -1,0 +1,304 @@
+"""JDBC source/sink wiring — predicate-plan parity with the reference's
+split machinery (TestSplitBy/TestBoundaryQuery shapes) and end-to-end
+batched export against in-process sqlite3 (the HSQLDB-in-memory pattern of
+the reference's own suites, e.g. TestExportUpdate)."""
+
+import os
+import sqlite3
+
+import pytest
+
+from sqoop_spark.errors import EngineError
+from sqoop_spark.sources.jdbc import (
+    DEFAULT_RECORDS_PER_STATEMENT,
+    UNLIMITED_STATEMENTS_PER_TRANSACTION,
+    bounding_query,
+    build_import_plan,
+    export_partition,
+    insert_statement,
+    jdbc_export,
+    mysql_upsert_statement,
+    oracle_merge_statement,
+    sqlite_upsert_statement,
+    update_statement,
+)
+
+URL = "jdbc:postgresql://db:5432/corp"
+
+
+# -- import plan ------------------------------------------------------------
+
+
+def test_plan_table_split_predicates():
+    plan = build_import_plan(
+        URL, table="orders", split_by="id", num_mappers=4, bounds=(0, 100)
+    )
+    assert plan.dbtable == "orders"
+    # IntegerSplitter interval math: closed last split + IS NULL split
+    assert plan.predicates == [
+        "id >= 0 AND id < 25",
+        "id >= 25 AND id < 50",
+        "id >= 50 AND id < 75",
+        "id >= 75 AND id <= 100",
+        "id IS NULL",
+    ]
+    assert plan.bounds_sql == "SELECT MIN(id), MAX(id) FROM orders"
+    assert plan.properties["fetchsize"] == "1000"
+
+
+def test_plan_single_mapper_skips_probe():
+    """-m 1: no bounding probe, no predicates (1=1 fast path)."""
+    plan = build_import_plan(URL, table="orders", num_mappers=1)
+    assert plan.predicates is None and plan.bounds_sql is None
+
+
+def test_plan_columns_where_subquery():
+    plan = build_import_plan(
+        URL,
+        table="orders",
+        columns=["id", "total"],
+        where="total > 10",
+        num_mappers=1,
+    )
+    assert plan.dbtable == "(SELECT id, total FROM orders WHERE total > 10) AS SQOOP_SUBQUERY"
+
+
+def test_plan_freeform_query_and_boundary_query():
+    q = "SELECT o.id, c.name FROM o JOIN c ON o.cid = c.id WHERE $CONDITIONS"
+    plan = build_import_plan(
+        URL,
+        query=q,
+        split_by="id",
+        num_mappers=2,
+        bounds=(10, 20),
+        boundary_query="SELECT 10, 20",
+    )
+    assert plan.dbtable.startswith("(SELECT o.id, c.name")
+    assert "(1 = 1)" in plan.dbtable and "$CONDITIONS" not in plan.dbtable
+    assert plan.bounds_sql == "SELECT 10, 20"  # user boundary query wins
+    assert plan.predicates[0] == "id >= 10 AND id < 15"
+    # derived (no --boundary-query) wraps the query as a subselect
+    assert (
+        bounding_query("id", query=q)
+        == "SELECT MIN(id), MAX(id) FROM (SELECT o.id, c.name FROM o JOIN c "
+        "ON o.cid = c.id WHERE (1 = 1)) AS t1"
+    )
+
+
+def test_plan_error_parity():
+    with pytest.raises(EngineError, match="must contain '\\$CONDITIONS'"):
+        build_import_plan(URL, query="SELECT * FROM t", num_mappers=1)
+    with pytest.raises(EngineError, match="must specify --split-by"):
+        build_import_plan(URL, table="t", num_mappers=4, bounds=(0, 10))
+    with pytest.raises(EngineError, match="exactly one of"):
+        build_import_plan(URL, table="t", query="SELECT 1 WHERE $CONDITIONS")
+    with pytest.raises(EngineError, match="bounds required"):
+        build_import_plan(URL, table="t", split_by="id", num_mappers=4)
+
+
+def test_plan_null_bounds_single_null_split():
+    plan = build_import_plan(
+        URL, table="t", split_by="id", num_mappers=4, bounds=(None, None)
+    )
+    assert plan.predicates == ["id IS NULL"]
+
+
+def test_plan_split_limit_rederives_count():
+    plan = build_import_plan(
+        URL, table="t", split_by="id", num_mappers=2, bounds=(0, 100), split_limit=10
+    )
+    ranged = [p for p in plan.predicates if "IS NULL" not in p]
+    assert len(ranged) == 10  # 100-wide range / 10-row limit
+
+
+# -- statement builders -----------------------------------------------------
+
+
+def test_insert_statement_shapes():
+    assert (
+        insert_statement("t", ["a", "b"])
+        == "INSERT INTO t (a, b) VALUES (?, ?)"
+    )
+    assert (
+        insert_statement("t", ["a", "b"], num_rows=3)
+        == "INSERT INTO t (a, b) VALUES (?, ?), (?, ?), (?, ?)"
+    )
+
+
+def test_update_statement_shape():
+    # UpdateOutputFormat.getUpdateStatement:183-206 shape
+    assert (
+        update_statement("t", ["a", "b"], ["k1", "k2"])
+        == "UPDATE t SET a=?, b=? WHERE k1=? AND k2=?"
+    )
+
+
+def test_mysql_upsert_statement_shape():
+    # MySQLUpsertOutputFormat.getUpdateStatement:95-140 shape
+    assert mysql_upsert_statement("t", ["a", "b"], num_rows=2) == (
+        "INSERT INTO t (a, b) VALUES (?, ?), (?, ?) "
+        "ON DUPLICATE KEY UPDATE a=VALUES(a), b=VALUES(b)"
+    )
+
+
+def test_oracle_merge_statement_shape():
+    got = oracle_merge_statement("t", ["k", "v"], ["k"])
+    assert got.startswith("MERGE INTO t USING dual ON (t.k=?)")
+    assert "WHEN MATCHED THEN UPDATE SET t.v=?" in got
+    assert "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (?, ?)" in got
+
+
+# -- export executor (driver-side, spy connection) --------------------------
+
+
+class _SpyConn:
+    def __init__(self, real):
+        self.real = real
+        self.executes = []
+        self.commits = 0
+
+    def cursor(self):
+        spy = self
+
+        class _Cur:
+            def execute(self, sql, params):
+                spy.executes.append((sql, len(params)))
+                return spy.real.cursor().execute(sql, params)
+
+        return _Cur()
+
+    def commit(self):
+        self.commits += 1
+        self.real.commit()
+
+    def close(self):
+        self.real.close()
+
+
+def _mem_with_table():
+    conn = sqlite3.connect(":memory:")
+    conn.execute("CREATE TABLE t (k INTEGER, v TEXT)")
+    return conn
+
+
+def test_export_partition_batching_and_commits():
+    """250 rows at 100/statement → 3 statements (100, 100, 50 — the tail
+    gets its own shorter multi-row text), commits per the transaction knob."""
+    real = _mem_with_table()
+    spy = _SpyConn(real)
+    rows = [(i, f"v{i}") for i in range(250)]
+    n = export_partition(
+        rows,
+        conn_factory=lambda: spy,
+        sql_for_batch=lambda b: insert_statement("t", ["k", "v"], b),
+        params_per_row=2,
+        records_per_statement=DEFAULT_RECORDS_PER_STATEMENT,
+        statements_per_transaction=2,
+    )
+    assert n == 250
+    assert [p for _, p in spy.executes] == [200, 200, 100]
+    assert spy.executes[-1][0] == insert_statement("t", ["k", "v"], 50)
+    # one commit after the 2nd statement + the final close-commit
+    assert spy.commits == 2
+
+
+def test_export_partition_unlimited_tx_single_commit():
+    real = _mem_with_table()
+    spy = _SpyConn(real)
+    export_partition(
+        [(i, "x") for i in range(30)],
+        conn_factory=lambda: spy,
+        sql_for_batch=lambda b: insert_statement("t", ["k", "v"], b),
+        params_per_row=2,
+        records_per_statement=10,
+        statements_per_transaction=UNLIMITED_STATEMENTS_PER_TRANSACTION,
+    )
+    assert spy.commits == 1  # deferred to close (AsyncSqlOutputFormat -1)
+
+
+# -- end-to-end through Spark (file sqlite, single partition) ---------------
+
+
+def _file_factory(path):
+    def factory():
+        return sqlite3.connect(path)
+
+    return factory
+
+
+def test_jdbc_export_insert_spark(spark, scratch):
+    db = os.path.join(scratch, "exp.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (k INTEGER, v TEXT)")
+    conn.commit()
+    conn.close()
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(500)], "k int, v string")
+    jdbc_export(df.coalesce(1), _file_factory(db), "t", mode="insert")
+    got = sqlite3.connect(db).execute("SELECT count(*), min(k), max(k) FROM t").fetchone()
+    assert got == (500, 0, 499)
+
+
+def test_jdbc_export_updateonly_ignores_unmatched(spark, scratch):
+    """TestExportUpdate subset/no-op semantics: unmatched keys silently
+    ignored, matched rows updated."""
+    db = os.path.join(scratch, "upd.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+    conn.executemany("INSERT INTO t VALUES (?, ?)", [(1, "old1"), (3, "old3")])
+    conn.commit()
+    conn.close()
+    df = spark.createDataFrame(
+        [(1, "new1"), (2, "new2"), (3, "new3")], "k int, v string"
+    )
+    jdbc_export(
+        df.coalesce(1), _file_factory(db), "t", mode="updateonly", update_key="k"
+    )
+    got = dict(sqlite3.connect(db).execute("SELECT k, v FROM t").fetchall())
+    assert got == {1: "new1", 3: "new3"}  # key 2 silently ignored
+
+
+def test_jdbc_export_allowinsert_upserts(spark, scratch):
+    db = os.path.join(scratch, "ups.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+    conn.execute("INSERT INTO t VALUES (1, 'old1')")
+    conn.commit()
+    conn.close()
+    df = spark.createDataFrame([(1, "new1"), (2, "new2")], "k int, v string")
+    jdbc_export(
+        df.coalesce(1),
+        _file_factory(db),
+        "t",
+        mode="allowinsert",
+        update_key="k",
+        dialect="sqlite",
+    )
+    got = dict(sqlite3.connect(db).execute("SELECT k, v FROM t").fetchall())
+    assert got == {1: "new1", 2: "new2"}
+    # sqlite upsert text parity
+    assert sqlite_upsert_statement("t", ["k", "v"], ["k"]) == (
+        "INSERT INTO t (k, v) VALUES (?, ?) ON CONFLICT(k) DO UPDATE SET "
+        "v=excluded.v"
+    )
+
+
+def test_jdbc_export_mode_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(EngineError, match="update-key is required"):
+        jdbc_export(df, lambda: None, "t", mode="updateonly")
+    with pytest.raises(EngineError, match="vendor dialect"):
+        jdbc_export(df, lambda: None, "t", mode="allowinsert", update_key="k")
+    with pytest.raises(EngineError, match="unknown export mode"):
+        jdbc_export(df, lambda: None, "t", mode="nope")
+
+
+def test_cli_list_databases(tmp_path, capsys):
+    """ListDatabasesTool analog over a lake root."""
+    from sqoop_spark.cli import main
+
+    (tmp_path / "db1").mkdir()
+    (tmp_path / "db1" / "orders.parquet").write_bytes(b"")
+    (tmp_path / "db2").mkdir()  # empty: not a database
+    rc = main(["list-databases", "--path", str(tmp_path)])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "db1"

@@ -181,3 +181,21 @@ def test_decimal_split_points_bounds():
     assert pts[0] == Decimal("1.000000000") and pts[-1] == Decimal("1.000000005")
     # zero-width range: one closed split, like IntegerSplitter's hi-dup branch
     assert decimal_split_points("2", "2", 4) == [Decimal(2), Decimal(2)]
+
+
+def test_date_split_limit_seconds():
+    """DateSplitter --split-limit is in seconds (DateSplitter.java:84-120):
+    a 100-second range with a 10-second limit re-derives to 10 splits."""
+    import datetime as dt
+
+    from sqoop_spark.partitioning import date_split_points
+
+    lo = dt.datetime(2024, 1, 1, 0, 0, 0)
+    hi = lo + dt.timedelta(seconds=100)
+    pts = date_split_points(lo, hi, 2, split_limit=10)
+    assert len(pts) == 11  # 10 splits of <= 10s each
+    widths = [(pts[i + 1] - pts[i]).total_seconds() for i in range(len(pts) - 1)]
+    assert max(widths) <= 10
+    assert pts[0] == lo and pts[-1] == hi
+    # no limit: unchanged behavior
+    assert len(date_split_points(lo, hi, 2)) == 3
