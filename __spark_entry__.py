@@ -490,13 +490,29 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (rows-only; bucket-exactness is
-    pytest-verified against brute force)."""
+    """Hyperplane-LSH bucketed ANN with the portable sha256-derived plane
+    components, so the whole pipeline (signatures -> bucket join -> cosine
+    -> top-k) has a value-hash DuckDB oracle; the xxhash64 fast path and
+    multi-probe are pytest-verified against brute force."""
     emb = _embs(spark, sf_dir)
-    out = lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    out = lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, hash_fn="sha256"
+    )
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup join (LSH-bucketed candidates + exact
+    cosine verify) with the portable sha256 plane hash — full DuckDB
+    oracle; completes the dedup family (exact / Jaccard / MinHash-LSH /
+    SimHash / embedding-cosine)."""
+    from sqoop_spark.pipeline import embedding_dedup_pairs
+
+    emb = _embs(spark, sf_dir)
+    out = embedding_dedup_pairs(emb, threshold=0.2, hash_fn="sha256")
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -646,6 +663,96 @@ votes AS (
   FROM h GROUP BY doc_id
 )
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def _ann_lsh_sql(n_planes: int = 4, seed: int = 42, k: int = 3, dim: int = 64) -> str:
+    """DuckDB twin of lsh_cosine_topk(hash_fn='sha256'): per-plane sign
+    bits from the portable hash, bucket-equality join, exact cosine, top-k.
+    Component index parity: Spark hashes the 0-based dimension index j,
+    DuckDB arrays are 1-based, hence (i - 1)."""
+    hp = lambda p: (  # noqa: E731
+        f"((('0x' || substr(sha256('{seed}|{p}|' || (i - 1)::VARCHAR), 1, 15))"
+        f"::BIGINT % 2000000) / 1000000.0 - 1.0)"
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN sum(v * {hp(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH comp AS (
+  SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) i
+),
+sig AS (
+  SELECT vec_id, {bit_sum} AS sig
+  FROM comp GROUP BY vec_id
+),
+q AS (SELECT s.vec_id AS qid, e.embedding AS qe, s.sig
+      FROM sig s JOIN embeddings e USING (vec_id) WHERE s.vec_id < 5),
+c AS (SELECT s.vec_id AS nid, e.embedding AS ce, s.sig
+      FROM sig s JOIN embeddings e USING (vec_id)),
+x AS (
+  SELECT q.qid, c.nid,
+         CAST(q.qe[i.i] AS DOUBLE) AS qv, CAST(c.ce[i.i] AS DOUBLE) AS cv
+  FROM q JOIN c ON q.sig = c.sig AND q.qid <> c.nid,
+       (SELECT unnest(range(1, {dim + 1})) AS i) i
+),
+s2 AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv))) AS cosine
+  FROM x GROUP BY 1, 2
+),
+r AS (SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+      FROM s2)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM r WHERE rank <= {k}
+"""
+
+
+def _embedding_dedup_sql(
+    threshold: float = 0.2, n_planes: int = 4, seed: int = 42, dim: int = 64
+) -> str:
+    """DuckDB twin of embedding_dedup_pairs(hash_fn='sha256')."""
+    hp = lambda p: (  # noqa: E731
+        f"((('0x' || substr(sha256('{seed}|{p}|' || (i - 1)::VARCHAR), 1, 15))"
+        f"::BIGINT % 2000000) / 1000000.0 - 1.0)"
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN sum(v * {hp(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH comp AS (
+  SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) i
+),
+sig AS (
+  SELECT vec_id, {bit_sum} AS sig
+  FROM comp GROUP BY vec_id
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+),
+x AS (
+  SELECT p.id_a, p.id_b,
+         CAST(ea.embedding[i.i] AS DOUBLE) AS va,
+         CAST(eb.embedding[i.i] AS DOUBLE) AS vb
+  FROM p
+  JOIN embeddings ea ON ea.vec_id = p.id_a
+  JOIN embeddings eb ON eb.vec_id = p.id_b,
+       (SELECT unnest(range(1, {dim + 1})) AS i) i
+),
+s AS (
+  SELECT id_a, id_b,
+         sum(va * vb) / (sqrt(sum(va * va)) * sqrt(sum(vb * vb))) AS cosine
+  FROM x GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM s WHERE cosine >= {threshold}
 """
 
 
@@ -813,6 +920,8 @@ WITH ce AS ({ce})
 SELECT op, count(*) AS n_rows FROM ce GROUP BY op
 """,
         "dedup_minhash_lsh": _minhash_lsh_sql(k=3, num_perm=16, bands=8, threshold=0.3),
+        "ann_lsh_topk": _ann_lsh_sql(n_planes=4, seed=42, k=3),
+        "dedup_embedding": _embedding_dedup_sql(threshold=0.2),
         "simhash": _simhash_sql(bits=32),
         "dedup_exact": """
 SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id,

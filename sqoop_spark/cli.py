@@ -116,6 +116,17 @@ def cmd_import(args) -> int:
     from sqoop_spark.lake import LakeTable
     from sqoop_spark.schema import apply_type_mapping
 
+    if getattr(args, "as_sequencefile", False):
+        # FileLayout.SequenceFile (SqoopOptions.java:86-92): a Hadoop-era
+        # container with no Spark value — refused loudly, not silently
+        # absent (SURVEY §2.2 documents the decision).
+        from sqoop_spark.errors import EngineError
+
+        raise EngineError(
+            "SequenceFile layout is not supported by this engine; use the "
+            "parquet lake format (default), --as-textfile via export "
+            "--format text, or Avro conversions (sqoop_spark.avro)"
+        )
     spark = _session(args)
     df = _load_source(spark, args)
     if args.columns:
@@ -504,6 +515,8 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--username")
     imp.add_argument("--password")
     imp.add_argument("--jdbc-driver", help="JDBC driver class name")
+    imp.add_argument("--as-sequencefile", action="store_true",
+                     help="refused with an explanation (legacy layout)")
     imp.set_defaults(fn=cmd_import)
 
     mrg = sub.add_parser("merge", help="two-dataset newest-wins merge")

@@ -7,6 +7,8 @@ from sqoop_spark.pipeline.dedup import (  # noqa: F401
 )
 from sqoop_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
+    embedding_cosine_pairs_exact,
+    embedding_dedup_pairs,
     lsh_cosine_topk,
 )
 from sqoop_spark.pipeline.text import (  # noqa: F401

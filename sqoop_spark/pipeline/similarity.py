@@ -1,15 +1,21 @@
-"""Similarity search over embedding columns (array<float>).
+"""Similarity search & embedding dedup over embedding columns (array<float>).
 
 - ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
   set against the corpus, dot products via ``F.zip_with`` + ``F.aggregate``
   in double precision (JVM-side, no UDF), rank with one window per query.
   The baseline every ANN variant is verified against.
 - ``lsh_cosine_topk`` — random-hyperplane LSH: H deterministic seeded
-  hyperplanes (components derived from xxhash64, so executors regenerate
-  them without a broadcast of real data), bucket = sign-bit signature;
-  search only within the query's bucket (plus optional multi-probe of
-  Hamming-1 neighbors). At 10^9 vectors the bucket join replaces the full
-  cross product — the scale path.
+  hyperplanes (components derived from xxhash64 or a DuckDB-portable
+  sha256 hash, so executors regenerate them without a broadcast of real
+  data), bucket = sign-bit signature; search only within the query's
+  bucket (plus optional multi-probe of Hamming-1 neighbors). At 10^9
+  vectors the bucket join replaces the full cross product — the scale path.
+- ``embedding_dedup_pairs`` — embedding-cosine NEAR-DUP JOIN (all pairs
+  with cosine ≥ threshold): candidates from the same hyperplane-bucket
+  self-join, verified with the exact cosine. Near-duplicate vectors agree
+  on almost every sign bit, so bucket-equality recall is high exactly in
+  the regime dedup cares about (cosine → 1), while the join volume stays
+  sum-of-squared-bucket-sizes instead of N².
 """
 
 from __future__ import annotations
@@ -75,12 +81,39 @@ def cosine_topk(
     )
 
 
-def _signature(vec, dim: int, n_planes: int, seed: int):
+def _plane_component(j, p: int, seed: int, hash_fn: str):
+    """Plane p's pseudo-random component at index j, scaled to [-1, 1).
+
+    "xxhash64" is the JVM fast path; "sha256" derives the same-shaped
+    value from the first 15 hex chars of sha256("<seed>|<p>|" + j) — a
+    hash DuckDB computes identically, giving the LSH driver query a full
+    value-hash oracle (see __spark_entry__.oracle_sql)."""
+    if hash_fn == "xxhash64":
+        h = F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(2_000_000))
+    else:
+        h = (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(F.lit(f"{seed}|{p}|"), j.cast("string")), 256
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(2_000_000)
+        )
+    return (h.cast("double") / F.lit(1_000_000.0)) - F.lit(1.0)
+
+
+def _signature(vec, dim: int, n_planes: int, seed: int, hash_fn: str = "xxhash64"):
     """Sign-bit signature under deterministic pseudo-random hyperplanes.
 
-    Plane p's component j = xxhash64(seed, p, j) scaled to [-1, 1). The
-    planes are regenerated from (seed, p, j) wherever needed — nothing to
-    broadcast, which matters when the plan is shipped to 1000 executors.
+    Plane p's component j is derived from (seed, p, j) — the planes are
+    regenerated wherever needed, nothing to broadcast, which matters when
+    the plan is shipped to 1000 executors.
     """
     bits = []
     for p in range(n_planes):
@@ -88,16 +121,10 @@ def _signature(vec, dim: int, n_planes: int, seed: int):
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j: x.cast("double")
-                * (
-                    (
-                        F.pmod(
-                            F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(2_000_000)
-                        ).cast("double")
-                        / F.lit(1_000_000.0)
-                    )
-                    - F.lit(1.0)
-                ),
+                # note: zip_with builds the expression eagerly, so the loop
+                # variable p is captured at its current value — and the
+                # lambda must stay 2-arg (PySpark reads the arity)
+                lambda x, j: x.cast("double") * _plane_component(j, p, seed, hash_fn),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -119,6 +146,7 @@ def lsh_cosine_topk(
     n_planes: int = 4,
     seed: int = 42,
     n_probes: int = 1,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate cosine top-k: search the query's LSH bucket, plus —
     with ``n_probes > 1`` — its Hamming-1 neighbor buckets (multi-probe).
@@ -137,7 +165,9 @@ def lsh_cosine_topk(
     sig = lambda df, idname: df.select(  # noqa: E731
         F.col(id_col).alias(idname),
         F.col(vec_col).alias(f"_{idname}_v"),
-        _signature(F.col(vec_col), dim, n_planes, seed).alias(f"_{idname}_sig"),
+        _signature(F.col(vec_col), dim, n_planes, seed, hash_fn).alias(
+            f"_{idname}_sig"
+        ),
     )
     qbase = sig(queries, "query_id")
     # Query-side probe fan-out: home bucket + Hamming-1 neighbors. The
@@ -174,3 +204,71 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def embedding_cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup join: every (id_a < id_b) pair with
+    cosine ≥ threshold. O(N²) self-join — the verification baseline; use
+    ``embedding_dedup_pairs`` at scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Embedding-cosine near-dup join, LSH-bucketed: candidates share a
+    hyperplane sign-bit bucket, then the exact cosine verifies ≥ threshold.
+
+    The dedup sibling of MinHash-LSH (pipeline/dedup.py minhash_lsh_pairs):
+    same candidate-then-verify shape, same determinism guarantee (emitted
+    pairs are truly ≥ threshold; LSH only affects recall). With B = 2^H
+    buckets the self-join volume is Σ b_i² instead of N² — the only shape
+    that survives a 10^9-vector corpus. For near-dup thresholds (cosine
+    ≥ 0.9) the angle between pair members is ≤ 26°, so a random hyperplane
+    separates them with probability ≤ 26/180 per plane — recall stays high
+    exactly where dedup operates. ``hash_fn="sha256"`` makes the buckets
+    DuckDB-reproducible for the driver oracle.
+    """
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _signature(F.col(vec_col), dim, n_planes, seed, hash_fn).alias("_sig"),
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a._sig") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        (
+            _dot(F.col("a._v"), F.col("b._v"))
+            / (_norm(F.col("a._v")) * _norm(F.col("b._v")))
+        ).alias("cosine"),
+    )
+    return cands.filter(F.col("cosine") >= threshold)

@@ -302,3 +302,10 @@ def test_cli_list_databases(tmp_path, capsys):
     rc = main(["list-databases", "--path", str(tmp_path)])
     assert rc == 0
     assert capsys.readouterr().out.strip() == "db1"
+
+
+def test_cli_sequencefile_refused():
+    from sqoop_spark.cli import main
+
+    with pytest.raises(EngineError, match="SequenceFile layout is not supported"):
+        main(["import", "--table", "/nope", "--target", "/nope2", "--as-sequencefile"])

@@ -301,3 +301,31 @@ def test_lsh_multiprobe_improves_recall(spark):
     # multi-probe returns at most k rows per query
     got = lsh_cosine_topk(emb, queries, k=3, n_planes=6, n_probes=7).toPandas()
     assert got.groupby("query_id").size().max() <= 3
+
+
+def test_embedding_dedup_pairs(spark):
+    """Embedding-cosine near-dup join: emitted pairs are a subset of the
+    exact pair join (verify step guarantees it), exact duplicates are
+    always found (identical vectors share every sign bit), deterministic."""
+    from sqoop_spark.pipeline import embedding_cosine_pairs_exact, embedding_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # inject an exact duplicate of vec 0 with a fresh id
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dup)
+    got = embedding_dedup_pairs(corpus, threshold=0.95).toPandas()
+    assert (0, 100000) in {(r.id_a, r.id_b) for r in got.itertuples()}
+    # subset of exact at the same threshold
+    exact = embedding_cosine_pairs_exact(corpus, threshold=0.95).toPandas()
+    got_pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    assert got_pairs <= exact_pairs
+    # every emitted cosine is truly >= threshold (verify semantics)
+    assert (got.cosine >= 0.95).all()
+    # deterministic + portable hash variant agrees on the dup pair
+    again = embedding_dedup_pairs(corpus, threshold=0.95, hash_fn="sha256").toPandas()
+    assert (0, 100000) in {(r.id_a, r.id_b) for r in again.itertuples()}
