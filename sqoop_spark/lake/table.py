@@ -645,6 +645,58 @@ class LakeTable:
             "kept_from": cutoff,
         }
 
+    def remove_orphan_files(self, older_than_seconds: float = 3600.0) -> dict:
+        """Delete data files referenced by NO retained manifest — Iceberg
+        ``remove_orphan_files`` semantics.
+
+        A writer that crashes between its data-file write and the manifest
+        commit leaves its uuid directory unreferenced forever: the atomic
+        commit protocol makes that *safe* (no reader ever sees it) but not
+        *free* (the bytes stay). Unreferenced files older than
+        ``older_than_seconds`` are deleted; the age horizon protects
+        in-flight writers whose commit has not landed yet (same guard as
+        Iceberg's ``older_than``). Write-side droppings (``_SUCCESS``,
+        ``.crc``) of committed snapshots count as orphans too — nothing
+        reads them after commit.
+        """
+        import time as _t
+
+        current = self.current_version()
+        if current is None:
+            raise EngineError("remove_orphan_files: need an existing table")
+        referenced: set[str] = set()
+        for v in range(1, current + 1):
+            mpath = os.path.join(self.manifest_dir, f"v{v:08d}.json")
+            if v in self._manifest_cache or os.path.exists(mpath):
+                referenced.update(e["path"] for e in self.manifest(v)["files"])
+        now = _t.time()
+        removed = 0
+        for root, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.path)
+                if rel in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(full) < older_than_seconds:
+                        continue
+                    os.unlink(full)
+                    removed += 1
+                except FileNotFoundError:
+                    continue  # concurrent maintenance
+        # prune now-empty uuid/bucket dirs (bottom-up)
+        removed_dirs = 0
+        for root, _dirs, _files in os.walk(self.data_dir, topdown=False):
+            # re-listdir: children rmdir'd earlier in this bottom-up walk
+            # still appear in the stale _dirs snapshot
+            if root != self.data_dir and not os.listdir(root):
+                try:
+                    os.rmdir(root)
+                    removed_dirs += 1
+                except OSError:
+                    pass
+        return {"removed_files": removed, "removed_dirs": removed_dirs}
+
     # -- schema evolution ----------------------------------------------------------
 
     def add_column(self, name: str, type_ddl: str, batch_id: int | None = None) -> dict:

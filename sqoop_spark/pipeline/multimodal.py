@@ -114,3 +114,100 @@ def extract_features(
             )
 
     return df.mapInPandas(process, schema=_FEATURES_SCHEMA)
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_sec", T.DoubleType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame, fps: float = 1.0, max_frames: int = 8, decode_stub: str = "fake"
+) -> DataFrame:
+    """Sample frames from video rows — a 1:N ``mapInPandas`` fan-out.
+
+    Demonstrates the generator contract codecs need: one input row yields
+    MANY output rows (frames) without materializing them as a Python list
+    per row — the generator emits one pandas frame per Arrow batch and
+    Spark streams it. Non-video rows are dropped (filter pushed before the
+    Python stage so images/audio never cross into Arrow). The decode is
+    stubbed per the module docstring: frame bytes derive from
+    sha256(payload ‖ frame_idx), frame count from the payload length —
+    deterministic, schema-faithful, zero codec deps.
+    """
+    if decode_stub not in ("fake", "raise"):
+        raise ValueError(f"unknown decode_stub: {decode_stub}")
+    vids = df.filter(F.col("modality") == "video")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "video decode requires ffmpeg — not available in this "
+                    "container; plug the real frame sampler in here"
+                )
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "ts_sec": [],
+                "frame": [],
+                "width": [],
+                "height": [],
+            }
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                # stub duration: 1 "second" per 64 payload bytes
+                n = min(max_frames, max(1, int(len(payload) // 64 * fps)))
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_sec"].append(i / fps)
+                    out["frame"].append(
+                        hashlib.sha256(bytes(payload) + i.to_bytes(4, "big")).digest()
+                    )
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+            yield pd.DataFrame(out)
+
+    return vids.mapInPandas(process, schema=_FRAMES_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, decode_stub: str = "fake"
+) -> DataFrame:
+    """Resize image rows — a 1:1 ``mapInPandas`` transform that rewrites
+    both payload and metadata (the meta struct must stay consistent with
+    the bytes, which is why this can't be a pure-SQL column edit). Stubbed
+    resample: payload' = sha256(payload ‖ WxH) — deterministic; the real
+    deployment swaps in PIL here. Non-image rows pass through untouched.
+    """
+    if decode_stub not in ("fake", "raise"):
+        raise ValueError(f"unknown decode_stub: {decode_stub}")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"{width}x{height}".encode()
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "image decode requires PIL — not available in this "
+                    "container; plug the real resampler in here"
+                )
+            is_img = pdf["modality"] == "image"
+            pdf = pdf.copy()
+            pdf.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(
+                lambda p: hashlib.sha256(bytes(p) + tag).digest()
+            )
+            pdf.loc[is_img, "meta"] = pdf.loc[is_img, "meta"].map(
+                lambda m: {**m, "width": width, "height": height}
+            )
+            yield pdf
+
+    return df.mapInPandas(process, schema=df.schema)

@@ -132,3 +132,45 @@ def test_time_travel_read(spark, scratch):
     assert t.read().count() == 2
     ops = [s.operation for s in t.snapshots()]
     assert ops == ["create", "append", "append"]
+
+
+def test_remove_orphan_files(spark, scratch):
+    """Iceberg remove_orphan_files semantics: unreferenced data files from
+    crashed writers are deleted past the age horizon; referenced files and
+    young (possibly in-flight) files survive; table state is unchanged."""
+    import os
+    import time
+
+    from sqoop_spark.lake import LakeTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = LakeTable.create(spark, f"{scratch}/orph", schema, ["k"], num_buckets=2)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    before = sorted(r["k"] for r in t.read().collect())
+
+    # a crashed writer's droppings: a data dir written but never committed
+    orphan_dir = os.path.join(t.data_dir, "deadbeef", "_bucket=0")
+    os.makedirs(orphan_dir)
+    old_orphan = os.path.join(orphan_dir, "part-000.zstd.parquet")
+    young_orphan = os.path.join(orphan_dir, "part-001.zstd.parquet")
+    for p in (old_orphan, young_orphan):
+        with open(p, "wb") as f:
+            f.write(b"not really parquet")
+    past = time.time() - 7200
+    os.utime(old_orphan, (past, past))
+
+    got = t.remove_orphan_files(older_than_seconds=3600)
+    assert got["removed_files"] >= 1
+    assert not os.path.exists(old_orphan), "aged orphan must be deleted"
+    assert os.path.exists(young_orphan), "young file may be an in-flight commit"
+    assert sorted(r["k"] for r in t.read().collect()) == before
+
+    # after the horizon passes, the young one goes too and its dirs prune
+    os.utime(young_orphan, (past, past))
+    got2 = t.remove_orphan_files(older_than_seconds=3600)
+    assert got2["removed_files"] == 1
+    assert not os.path.exists(os.path.join(t.data_dir, "deadbeef"))
+    assert sorted(r["k"] for r in t.read().collect()) == before

@@ -329,3 +329,43 @@ def test_embedding_dedup_pairs(spark):
     # deterministic + portable hash variant agrees on the dup pair
     again = embedding_dedup_pairs(corpus, threshold=0.95, hash_fn="sha256").toPandas()
     assert (0, 100000) in {(r.id_a, r.id_b) for r in again.itertuples()}
+
+
+def test_multimodal_frame_sample(spark):
+    """1:N frame fan-out: only video rows cross into Python, frame count
+    follows the stub duration, output is deterministic."""
+    from sqoop_spark.pipeline.multimodal import frame_sample, synthesize_media
+
+    media = synthesize_media(spark, 60)
+    frames = frame_sample(media, fps=1.0, max_frames=4).toPandas()
+    vids = media.filter(F.col("modality") == "video").count()
+    assert set(frames.media_id.unique()) == set(
+        r.media_id for r in media.filter(F.col("modality") == "video").collect()
+    )
+    assert len(frames) == vids * 4  # 256-byte payloads → capped at max_frames
+    assert frames.frame.map(len).eq(32).all()  # sha256-sized stub frames
+    # deterministic
+    again = frame_sample(media, fps=1.0, max_frames=4).toPandas()
+    key = lambda df: sorted(zip(df.media_id, df.frame_idx, df.frame.map(bytes)))  # noqa: E731
+    assert key(frames) == key(again)
+
+
+def test_multimodal_resize(spark):
+    """1:1 resize: image payload+meta rewritten consistently, other
+    modalities untouched, schema preserved."""
+    from sqoop_spark.pipeline.multimodal import resize_media, synthesize_media
+
+    media = synthesize_media(spark, 30)
+    out = resize_media(media, 224, 224)
+    assert out.schema == media.schema
+    pdf = out.toPandas().set_index("media_id")
+    orig = media.toPandas().set_index("media_id")
+    for mid in pdf.index:
+        if pdf.loc[mid, "modality"] == "image":
+            assert pdf.loc[mid, "meta"]["width"] == 224
+            assert pdf.loc[mid, "meta"]["height"] == 224
+            assert bytes(pdf.loc[mid, "payload"]) != bytes(orig.loc[mid, "payload"])
+            assert len(pdf.loc[mid, "payload"]) == 32
+        else:
+            assert bytes(pdf.loc[mid, "payload"]) == bytes(orig.loc[mid, "payload"])
+            assert pdf.loc[mid, "meta"] == orig.loc[mid, "meta"]
