@@ -118,6 +118,52 @@ def main() -> None:
         )
     )
 
+    # -- training-data pipeline plan evidence (round 2) ----------------------
+    from sqoop_spark.pipeline import (
+        embedding_dedup_pairs,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    lsh = minhash_lsh_pairs(docs, k=5, num_perm=16, bands=8, threshold=0.7)
+    sections.append(
+        (
+            "MinHash-LSH near-dup join (candidate-restricted verify)",
+            "The exact-Jaccard verify step's shingle scans sit behind "
+            "LeftSemi joins against the LSH candidate id set — verify cost "
+            "is O(candidate docs), never the full-corpus pair join that "
+            "would defeat LSH at scale (pinned in "
+            "tests/test_pipeline.py::test_minhash_lsh_verify_restricted_to_candidates).",
+            formatted(lsh),
+        )
+    )
+
+    jc = jaccard_pairs(docs, k=5, threshold=0.5, max_doc_freq=10)
+    sections.append(
+        (
+            "Jaccard join with document-frequency cap",
+            "Hot stopword-like shingles are removed by a broadcast anti-join "
+            "(BroadcastHashJoin LeftAnti) before the inverted-index "
+            "self-join — the quadratic-blowup guard for web-scale corpora.",
+            formatted(jc),
+        )
+    )
+
+    ed = embedding_dedup_pairs(emb.select("vec_id", "embedding"), threshold=0.5)
+    sections.append(
+        (
+            "Embedding-cosine near-dup join (hyperplane-bucketed)",
+            "One Exchange per side on the sign-bit signature; the self-join "
+            "keys on bucket equality (sum-of-squared-bucket-sizes volume, "
+            "not N²) and the exact cosine verifies inside the same stage — "
+            "all JVM-side higher-order functions, no UDFs.",
+            formatted(ed),
+        )
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by "
