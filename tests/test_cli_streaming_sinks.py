@@ -364,3 +364,55 @@ def test_validate_replay_helper(spark, scratch):
     assert validate_replay(report, 500).ok
     with pytest.raises(ValidationFailure):
         validate_replay(report, 501)
+
+
+def test_stream_out_of_order_with_compaction(spark, scratch):
+    """Late out-of-order epochs landing AFTER auto-compaction ran must not
+    resurrect deleted keys — the streaming-level twin of the compaction
+    tombstone-retention fix (delete markers survive compaction until an
+    ordering horizon passes).
+
+    Epochs are written as files in REVERSED event order, with an
+    aggressive auto_compact_threshold so compaction interleaves with the
+    out-of-order applies; the final state must still equal the global
+    newest-wins oracle."""
+    events = synthesize_change_events(spark, 4000, batch_size=500)  # 8 chunks
+    src = os.path.join(scratch, "oosrc")
+    os.makedirs(src)
+    # one file per chunk, written (and thus streamed) newest-chunk-first
+    for i, b in enumerate(reversed(range(8))):
+        events.filter(F.col("batch_id") == b).drop("batch_id").coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"chunk{i}"))
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(src, "chunk0")).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src, "chunk*"))
+    )
+    engine = CdcEngine.create_table(
+        spark,
+        os.path.join(scratch, "ootbl"),
+        num_buckets=4,
+        merge_strategy="mor",
+        auto_compact_threshold=2,  # compact constantly, between late epochs
+    )
+    q = stream_apply(engine, stream, os.path.join(scratch, "oockpt"))
+    assert q.awaitTermination(300), "stream did not drain in time"
+
+    # compaction really ran (tombstone markers present from winning deletes)
+    ops = [s.operation for s in engine.table.snapshots()]
+    assert "compact" in ops, ops
+    got = (
+        engine.table.read()
+        .orderBy("repo", "path")
+        .select("repo", "path", "content_sha")
+        .toPandas()
+    )
+    oracle = replay_oracle(events.toPandas())
+    assert got.reset_index(drop=True).equals(
+        oracle[["repo", "path", "content_sha"]].reset_index(drop=True)
+    )
