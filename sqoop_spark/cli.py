@@ -160,6 +160,13 @@ def cmd_import(args) -> int:
     store = JobStore(args.job_store) if args.job else None
     if args.job and args.job not in store.list():
         store.create(args.job, {"incremental.last.value": args.last_value})
+    # the watermark BEFORE this run — needed to recount the source slice
+    # for --validate (the job store advances it on success)
+    prior_last_value = (
+        store.read(args.job)["options"].get("incremental.last.value")
+        if args.job
+        else _parse_last_value(args)
+    )
 
     report = engine.run_incremental(
         df,
@@ -169,6 +176,41 @@ def cmd_import(args) -> int:
         job_store=store,
         last_value=None if args.job else _parse_last_value(args),
     )
+
+    validation = None
+    if args.validate:
+        # RowCountValidator parity (validation/RowCountValidator.java:36-60,
+        # CLI --validate in tool/BaseSqoopTool.java): source row count of
+        # the incremental slice vs the rows the run transferred; mismatch
+        # aborts (AbortOnFailureHandler).
+        from sqoop_spark.cdc.watermark import incremental_slice
+        from sqoop_spark.validation import (
+            AbsoluteValidationThreshold,
+            validate_row_counts,
+        )
+        from sqoop_spark.cdc.engine import _coerce_last_value
+
+        if report.skipped_batch_ids:
+            # a resume legitimately re-transfers nothing for fenced batches
+            validation = (
+                "Validation skipped: resume run skipped already-fenced "
+                f"batches {report.skipped_batch_ids}"
+            )
+        else:
+            lv = _coerce_last_value(
+                df.schema[args.check_column].dataType, prior_last_value
+            )
+            sl = incremental_slice(
+                df, IncrementalMode(args.incremental), args.check_column, lv
+            )
+            expected = 0 if sl.empty else sl.df.count()
+            v = validate_row_counts(
+                expected,
+                report.events_seen,
+                threshold=AbsoluteValidationThreshold(args.validation_threshold),
+            )
+            validation = v.message
+
     print(
         json.dumps(
             {
@@ -177,6 +219,7 @@ def cmd_import(args) -> int:
                 "rows_applied": report.rows_applied,
                 "batches": len(report.batches),
                 "skipped_batch_ids": report.skipped_batch_ids,
+                **({"validation": validation} if validation else {}),
             }
         )
     )
@@ -517,6 +560,11 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--jdbc-driver", help="JDBC driver class name")
     imp.add_argument("--as-sequencefile", action="store_true",
                      help="refused with an explanation (legacy layout)")
+    imp.add_argument("--validate", action="store_true",
+                     help="RowCountValidator: source slice count must match "
+                     "rows transferred (aborts on mismatch)")
+    imp.add_argument("--validation-threshold", type=int, default=0,
+                     help="absolute count margin accepted by --validate")
     imp.set_defaults(fn=cmd_import)
 
     mrg = sub.add_parser("merge", help="two-dataset newest-wins merge")

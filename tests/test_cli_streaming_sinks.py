@@ -416,3 +416,40 @@ def test_stream_out_of_order_with_compaction(spark, scratch):
     assert got.reset_index(drop=True).equals(
         oracle[["repo", "path", "content_sha"]].reset_index(drop=True)
     )
+
+
+def test_cli_import_validate(spark, scratch, capsys):
+    """--validate wires RowCountValidator (BaseSqoopTool validation
+    options): source slice count must equal rows transferred; a resume run
+    that skips fenced batches reports validation as skipped instead of
+    false-aborting."""
+    events = synthesize_change_events(spark, 1500, batch_size=500)
+    src = os.path.join(scratch, "vev")
+    events.write.parquet(src)
+    target = os.path.join(scratch, "vlake")
+
+    rc = cli_main(
+        [
+            "import", "--table", src, "--target", target,
+            "--merge-key", "repo,path", "--check-column", "event_seq",
+            "--validate",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events_seen"] == 1500
+    assert out["validation"] == "Validation succeeded"
+
+    # resume shape: re-run over the same source from the same (None)
+    # watermark — all batches fenced → validation explicitly skipped
+    rc = cli_main(
+        [
+            "import", "--table", src, "--target", target,
+            "--merge-key", "repo,path", "--check-column", "event_seq",
+            "--validate",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events_seen"] == 0
+    assert out["validation"].startswith("Validation skipped: resume run")
