@@ -51,6 +51,10 @@ from sqoop_spark.schema import apply_type_mapping
 from sqoop_spark.sources import freeform_query
 from sqoop_spark.transforms import make_normalize_udf, parse_boolean_udf, sha256_udf
 
+from sqoop_spark.pipeline.text import BPE_REGEX as _BPE_PAT
+
+_BPE_REGEX_SQL = _BPE_PAT.replace("'", "''")
+
 TABLE_COLS = "repo, path, commit, lang, content, content_sha, event_seq, event_ts"
 
 
@@ -463,6 +467,13 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_docs(spark, sf_dir))
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer count — the unit an LLM pipeline budgets
+    by; Spark (Java regex) and DuckDB (RE2) interpret the pattern
+    identically (unicode \p classes only)."""
+    return token_count(_docs(spark, sf_dir), tokenizer="bpe_regex")
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir)).select(
         "doc_id",
@@ -563,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash": q_simhash,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -949,6 +961,11 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.05
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
 FROM documents
 """,
+        "token_count_bpe": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
+            + _BPE_REGEX_SQL
+            + "')) AS INT) AS n_tokens FROM documents"
+        ),
         "quality_score": f"""
 WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
 SELECT doc_id,

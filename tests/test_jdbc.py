@@ -309,3 +309,42 @@ def test_cli_sequencefile_refused():
 
     with pytest.raises(EngineError, match="SequenceFile layout is not supported"):
         main(["import", "--table", "/nope", "--target", "/nope2", "--as-sequencefile"])
+
+
+def test_split_predicates_partition_range_property():
+    """Property (TestSplitBy parity): for any bounds and mapper count the
+    predicates exactly partition [lo, hi] — every integer in range matches
+    exactly ONE ranged predicate, and none outside does."""
+    from hypothesis import given, settings, strategies as st
+
+    from sqoop_spark.partitioning import integer_split_predicates
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lo=st.integers(-10_000, 10_000),
+        span=st.integers(0, 5_000),
+        m=st.integers(1, 16),
+    )
+    def check(lo, span, m):
+        hi = lo + span
+        preds = integer_split_predicates("c", lo, hi, m)
+
+        def matches(v, p):
+            # predicates are of the form "c >= A AND c < B" / "... <= B"
+            left, right = p.split(" AND ")
+            a = int(left.split(">= ")[1])
+            closed = "<=" in right
+            b = int(right.split("= " if closed else "< ")[1])
+            return v >= a and (v <= b if closed else v < b)
+
+        for v in {lo, hi, lo + span // 2, lo + 1, hi - 1} | (
+            set(range(lo, hi + 1)) if span <= 64 else set()
+        ):
+            if v < lo or v > hi:
+                continue
+            n = sum(matches(v, p) for p in preds)
+            assert n == 1, f"value {v} matched {n} predicates: {preds}"
+        assert not any(matches(lo - 1, p) for p in preds)
+        assert not any(matches(hi + 1, p) for p in preds)
+
+    check()

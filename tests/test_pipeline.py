@@ -369,3 +369,39 @@ def test_multimodal_resize(spark):
         else:
             assert bytes(pdf.loc[mid, "payload"]) == bytes(orig.loc[mid, "payload"])
             assert pdf.loc[mid, "meta"] == orig.loc[mid, "meta"]
+
+
+def test_token_count_bpe_regex(spark, docs):
+    """BPE-ish regex tokenization: Spark (Java regex) and DuckDB (RE2)
+    must agree token-for-token on the shared \\p-class pattern, including
+    punctuation/contraction/unicode edge cases."""
+    import duckdb
+
+    from sqoop_spark.pipeline.text import BPE_REGEX
+
+    extra = spark.createDataFrame(
+        [
+            (900001, "Hello world, it's 42 tokens-ish!"),
+            (900002, "can't won't I'll we're you've I'm he'd"),
+            (900003, "unicode: café naïve 42km ... !!!"),
+            (900004, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").limit(50).unionByName(extra)
+    got = (
+        token_count(corpus, tokenizer="bpe_regex")
+        .toPandas()
+        .set_index("doc_id")
+        .n_tokens
+    )
+    con = duckdb.connect()
+    pat_sql = BPE_REGEX.replace("'", "''")
+    for r in corpus.collect():
+        esc = r["text"].replace("'", "''")
+        n = con.sql(
+            f"SELECT len(regexp_extract_all('{esc}', '{pat_sql}'))"
+        ).fetchone()[0]
+        assert got[r["doc_id"]] == n, r["text"]
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        token_count(corpus, tokenizer="nope")
