@@ -3,12 +3,19 @@
 Mirrors the reference's registered tool set (tool/SqoopTool.java:74-105)
 with the subset that has meaning on a lake-native engine:
 
-  import             incremental ingest (append / lastmodified + merge)
+  import             incremental ingest (append / lastmodified + merge);
+                     --connect jdbc: reads over JDBC with split predicates;
+                     --validate wires RowCountValidator
+  export             lake → parquet/text/JDBC (insert/update/upsert modes)
   merge              two-dataset newest-wins merge (tool/MergeTool.java)
   job                saved jobs: --create/--exec/--list/--show/--delete
                      (tool/JobTool.java:355-368)
-  eval               ad-hoc SQL (tool/EvalSqlTool.java)
-  list-tables        tables (parquet files / lake dirs) under a path
+  codegen            schema + cast-plan emission (ClassWriter analog)
+  create-hive-table  Hive DDL emission/execution (TableDefWriter)
+  eval               ad-hoc SQL, local or --connect jdbc:
+                     (tool/EvalSqlTool.java)
+  list-tables        tables under a path, or information_schema w/ --connect
+  list-databases     database dirs under a path, or the JDBC catalog
   import-all-tables  every table under a path minus --exclude-tables
                      (tool/ImportAllTablesTool.java)
   bench              the replay benchmark at two parallelism levels
@@ -444,7 +451,19 @@ def cmd_job(args) -> int:
 
 
 def cmd_eval(args) -> int:
+    """Ad-hoc SQL — tool/EvalSqlTool.java. With --connect the statement
+    runs against the database (as a JDBC subquery read, the read-only
+    subset of the reference's executeStatement)."""
     spark = _session(args)
+    if getattr(args, "connect", None):
+        df = spark.read.jdbc(
+            args.connect,
+            f"({args.e}) AS SQOOP_EVAL",
+            properties={"user": args.username or "", "password": args.password or ""},
+        )
+        for row in df.collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
     for t in args.register or []:
         name, path = t.split("=", 1)
         spark.read.parquet(path).createOrReplaceTempView(name)
@@ -465,6 +484,17 @@ def _tables_under(path: str) -> list[str]:
 
 
 def cmd_list_tables(args) -> int:
+    """ListTablesTool: tables under a lake path, or the JDBC catalog's
+    (information_schema.tables) with --connect."""
+    if getattr(args, "connect", None):
+        spark = _session(args)
+        df = spark.read.jdbc(
+            args.connect,
+            "(SELECT table_name FROM information_schema.tables) AS tbls",
+            properties={"user": args.username or "", "password": args.password or ""},
+        )
+        print("\n".join(r[0] for r in df.collect()))
+        return 0
     print("\n".join(_tables_under(args.path)))
     return 0
 
@@ -622,10 +652,16 @@ def build_parser() -> argparse.ArgumentParser:
     ev = sub.add_parser("eval", help="ad-hoc SQL")
     ev.add_argument("-e", required=True, help="SQL text")
     ev.add_argument("--register", action="append", metavar="NAME=PATH")
+    ev.add_argument("--connect", help="jdbc:... URL — run against the database")
+    ev.add_argument("--username")
+    ev.add_argument("--password")
     ev.set_defaults(fn=cmd_eval)
 
     lt = sub.add_parser("list-tables")
-    lt.add_argument("--path", required=True)
+    lt.add_argument("--path")
+    lt.add_argument("--connect", help="jdbc:... URL (information_schema)")
+    lt.add_argument("--username")
+    lt.add_argument("--password")
     lt.set_defaults(fn=cmd_list_tables)
 
     ld = sub.add_parser("list-databases")
