@@ -28,6 +28,7 @@ from sqoop_spark.cdc.engine import CdcEngine
 from sqoop_spark.pipeline import (
     cosine_topk,
     exact_dedup,
+    ivf_cosine_topk,
     jaccard_pairs,
     lang_id,
     lsh_cosine_topk,
@@ -514,6 +515,27 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: deterministic hash-sampled centroids,
+    broadcast assignment + one map-side-combined max_by index build,
+    broadcast-probe query join — the partition-pruned scale path. The
+    sha256 portable hash makes centroid selection DuckDB-reproducible,
+    so the whole pipeline (centroids -> assignment -> probes -> exact
+    cosine -> top-k) has a value-hash oracle."""
+    emb = _embs(spark, sf_dir)
+    out = ivf_cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=3,
+        n_centroids=8,
+        n_probes=2,
+        hash_fn="sha256",
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup join (LSH-bucketed candidates + exact
     cosine verify) with the portable sha256 plane hash — full DuckDB
@@ -580,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
     }
@@ -719,6 +742,78 @@ r AS (SELECT query_id, neighbor_id, cosine,
              CAST(row_number() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
       FROM s2)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM r WHERE rank <= {k}
+"""
+
+
+def _ann_ivf_sql(
+    n_centroids: int = 8,
+    n_probes: int = 2,
+    seed: int = 42,
+    k: int = 3,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ivf_cosine_topk(hash_fn='sha256'): hash-sampled
+    centroids (smallest sha256-derived hash of the id), nearest-centroid
+    assignment (ties to the smaller centroid id), n_probes nearest lists
+    per query, exact cosine within probed lists, top-k."""
+    return f"""
+WITH h AS (
+  SELECT vec_id, embedding,
+         ('0x' || substr(sha256('{seed}|' || vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) AS INT) - 1 AS cid,
+         embedding AS ce
+  FROM h
+  QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= {n_centroids}
+),
+acomp AS (
+  SELECT e.vec_id, c.cid,
+         CAST(e.embedding[i.i] AS DOUBLE) AS v, CAST(c.ce[i.i] AS DOUBLE) AS w
+  FROM embeddings e, cents c, (SELECT unnest(range(1, {dim + 1})) AS i) i
+),
+asim AS (
+  SELECT vec_id, cid,
+         sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS ccos
+  FROM acomp GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cid FROM asim
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid ASC) = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid FROM asim WHERE vec_id < 5
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid ASC) <= {n_probes}
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS nid
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+),
+x AS (
+  SELECT cand.qid, cand.nid,
+         CAST(eq.embedding[i.i] AS DOUBLE) AS qv,
+         CAST(en.embedding[i.i] AS DOUBLE) AS cv
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.qid
+  JOIN embeddings en ON en.vec_id = cand.nid,
+       (SELECT unnest(range(1, {dim + 1})) AS i) i
+),
+s2 AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv))) AS cosine
+  FROM x GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM s2
+)
 SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
 FROM r WHERE rank <= {k}
 """
@@ -933,6 +1028,7 @@ SELECT op, count(*) AS n_rows FROM ce GROUP BY op
 """,
         "dedup_minhash_lsh": _minhash_lsh_sql(k=3, num_perm=16, bands=8, threshold=0.3),
         "ann_lsh_topk": _ann_lsh_sql(n_planes=4, seed=42, k=3),
+        "ann_ivf_topk": _ann_ivf_sql(n_centroids=8, n_probes=2, seed=42, k=3),
         "dedup_embedding": _embedding_dedup_sql(threshold=0.2),
         "simhash": _simhash_sql(bits=32),
         "dedup_exact": """

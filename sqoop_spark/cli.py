@@ -10,6 +10,9 @@ with the subset that has meaning on a lake-native engine:
   merge              two-dataset newest-wins merge (tool/MergeTool.java)
   job                saved jobs: --create/--exec/--list/--show/--delete
                      (tool/JobTool.java:355-368)
+  metastore          init/inspect the shared job store; --shutdown is a
+                     parity no-op (tool/MetastoreTool.java:50-62 runs an
+                     HSQLDB server — ours is a shared-filesystem store)
   codegen            schema + cast-plan emission (ClassWriter analog)
   create-hive-table  Hive DDL emission/execution (TableDefWriter)
   eval               ad-hoc SQL, local or --connect jdbc:
@@ -450,6 +453,29 @@ def cmd_job(args) -> int:
     return 0
 
 
+def cmd_metastore(args) -> int:
+    """Standalone metastore — tool/MetastoreTool.java analog.
+
+    The reference runs a shared HSQLDB server for saved jobs
+    (MetastoreTool.java:50-62 start/shutdown via HsqldbMetaStore). Our
+    JobStore is a directory of JSON documents with atomic replace — any
+    executor/host sharing the filesystem shares it, so there is no server
+    process: this tool initializes the store directory and reports its
+    state; --shutdown is accepted for CLI parity and is a no-op."""
+    from sqoop_spark.cdc import JobStore
+
+    store = JobStore(args.job_store)
+    if args.shutdown:
+        print(
+            json.dumps(
+                {"location": store.root, "shutdown": "noop (file-backed store)"}
+            )
+        )
+        return 0
+    print(json.dumps({"location": store.root, "jobs": store.list()}))
+    return 0
+
+
 def cmd_eval(args) -> int:
     """Ad-hoc SQL — tool/EvalSqlTool.java. With --connect the statement
     runs against the database (as a JDBC subquery read, the read-only
@@ -648,6 +674,11 @@ def build_parser() -> argparse.ArgumentParser:
     job.add_argument("--create")
     job.add_argument("--options", help="JSON options for --create")
     job.set_defaults(fn=cmd_job)
+
+    ms = sub.add_parser("metastore", help="init/inspect the shared job store")
+    ms.add_argument("--job-store", default=".sqoop_spark_jobs")
+    ms.add_argument("--shutdown", action="store_true")
+    ms.set_defaults(fn=cmd_metastore)
 
     ev = sub.add_parser("eval", help="ad-hoc SQL")
     ev.add_argument("-e", required=True, help="SQL text")

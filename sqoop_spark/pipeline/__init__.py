@@ -9,6 +9,8 @@ from sqoop_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
     embedding_cosine_pairs_exact,
     embedding_dedup_pairs,
+    ivf_centroids,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from sqoop_spark.pipeline.text import (  # noqa: F401

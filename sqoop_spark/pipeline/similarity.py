@@ -206,6 +206,134 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: the ``n_centroids`` corpus rows
+    with the smallest seeded hash of their id become centroids 0..K-1
+    (hash order, id tie-break). A hash-ordered draw is a uniform sample,
+    so the centroid set tracks the data distribution the way k-means
+    seeding does — with no iterative pass and bitwise determinism on any
+    cluster. ``orderBy().limit()`` plans as a distributed top-K
+    (TakeOrderedAndProject), not a global sort, so selection stays O(K)
+    per partition at 10^9 vectors. ``hash_fn="sha256"`` makes the choice
+    DuckDB-reproducible for the driver oracle. (The reference samples the
+    key space the same way to carve even work units:
+    mapreduce/db/IntegerSplitter.java:39-186.)
+    """
+    from sqoop_spark.pipeline.dedup import _hash64
+
+    h = _hash64(F.col(id_col).cast("string"), seed, hash_fn)
+    top = (
+        corpus.select(
+            F.col(id_col).alias("_cvid"), F.col(vec_col).alias("_kv"), h.alias("_h")
+        )
+        .orderBy("_h", "_cvid")
+        .limit(n_centroids)
+    )
+    w = Window.orderBy("_h", "_cvid")
+    return top.withColumn(
+        "centroid_id", (F.row_number().over(w) - 1).cast("int")
+    ).select("centroid_id", "_kv")
+
+
+def _centroid_cos(vec, kv):
+    return _dot(vec, kv) / (_norm(vec) * _norm(kv))
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_probes: int = 2,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k — the
+    partition-pruned scale path beside ``lsh_cosine_topk``.
+
+    Build: every corpus vector joins the K broadcast centroids (map-only)
+    and keeps its nearest via one map-side-combined ``max_by`` aggregation
+    — the inverted index, the single N-row shuffle in the plan, paid once
+    and reusable across query batches. Query: each query picks its
+    ``n_probes`` nearest centroids and searches ONLY those inverted lists;
+    the probe join broadcasts the (small) query side, so the corpus is
+    never re-shuffled at query time and the scanned volume is
+    ~``n_probes/K`` of the corpus. Deterministic: assignment ties break
+    toward the smaller centroid id. Emitted cosines are exact — IVF, like
+    the LSH variant, affects recall only; ``n_probes == n_centroids``
+    degenerates to the exact ``cosine_topk`` result.
+    """
+    n_probes = max(1, min(n_probes, n_centroids))
+    cents = F.broadcast(
+        ivf_centroids(corpus, n_centroids, id_col, vec_col, seed, hash_fn)
+    )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    index = (
+        c.crossJoin(cents)
+        .select(
+            "neighbor_id",
+            "_cv",
+            "centroid_id",
+            _centroid_cos(F.col("_cv"), F.col("_kv")).alias("_ccos"),
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("_ccos"), (-F.col("centroid_id")))
+            ).alias("centroid_id"),
+            F.first("_cv").alias("_cv"),
+        )
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_ccos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(cents)
+        .select(
+            "query_id",
+            "_qv",
+            "centroid_id",
+            _centroid_cos(F.col("_qv"), F.col("_kv")).alias("_ccos"),
+        )
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probes)
+        .select("query_id", "_qv", "centroid_id")
+    )
+
+    scored = (
+        index.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_cosine_pairs_exact(
     df: DataFrame,
     threshold: float = 0.9,

@@ -178,6 +178,24 @@ def test_cli_import_merge_job_eval(spark, scratch, capsys):
     assert json.loads(capsys.readouterr().out.strip())["n"] == 2000
 
 
+def test_cli_metastore(scratch, capsys):
+    """MetastoreTool parity: init/inspect the shared job store; --shutdown
+    accepted as a no-op (the reference runs an HSQLDB server,
+    MetastoreTool.java:50-62 — ours is a shared-filesystem JSON store)."""
+    store = os.path.join(scratch, "meta_jobs")
+    assert cli_main(["metastore", "--job-store", store]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["location"] == os.path.abspath(store) and out["jobs"] == []
+    assert os.path.isdir(store)  # the tool initializes the store directory
+
+    assert cli_main(["job", "--job-store", store, "--create", "m1"]) == 0
+    assert cli_main(["metastore", "--job-store", store]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["jobs"] == ["m1"]
+
+    assert cli_main(["metastore", "--job-store", store, "--shutdown"]) == 0
+    assert "noop" in json.loads(capsys.readouterr().out.strip())["shutdown"]
+
+
 def test_cli_list_and_import_all_tables(spark, scratch, capsys, tmp_path):
     for name in ("t1", "t2", "skipme"):
         spark.range(5).write.parquet(os.path.join(scratch, f"{name}.parquet"))

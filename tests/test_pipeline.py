@@ -405,3 +405,84 @@ def test_token_count_bpe_regex(spark, docs):
         assert got[r["doc_id"]] == n, r["text"]
     with pytest.raises(ValueError, match="unknown tokenizer"):
         token_count(corpus, tokenizer="nope")
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """With n_probes == n_centroids every inverted list is scanned, so IVF
+    must reproduce the brute-force top-k exactly (IVF affects recall only)."""
+    from sqoop_spark.pipeline import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=3).toPandas()
+    full = ivf_cosine_topk(
+        emb, queries, k=3, n_centroids=4, n_probes=4
+    ).toPandas()
+    cols = ["query_id", "neighbor_id", "rank"]
+    assert (
+        full.sort_values(cols).reset_index(drop=True)[cols].equals(
+            exact.sort_values(cols).reset_index(drop=True)[cols]
+        )
+    )
+
+
+def test_ivf_partial_probe_scores_exact_and_recall(spark):
+    """Partial-probe IVF: every emitted cosine equals the exact score (the
+    approximation only prunes candidates), more probes never lose recall,
+    and the sha256 portable-hash mode is deterministic."""
+    from sqoop_spark.pipeline import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=200).toPandas()
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cosine for r in exact.itertuples()
+    }
+    top1 = set(
+        exact[exact["rank"] == 1][["query_id", "neighbor_id"]].itertuples(
+            index=False, name=None
+        )
+    )
+
+    def hits(n_probes):
+        got = ivf_cosine_topk(
+            emb, queries, k=3, n_centroids=8, n_probes=n_probes,
+            hash_fn="sha256",
+        ).toPandas()
+        assert len(got) > 0
+        for r in got.itertuples():
+            assert exact_scores[(r.query_id, r.neighbor_id)] == pytest.approx(
+                r.cosine
+            )
+        return sum(
+            (r.query_id, r.neighbor_id) in top1 for r in got.itertuples()
+        )
+
+    low, high = hits(1), hits(8)
+    assert high >= low
+    assert high == 5  # all-probe run recovers every true top-1
+
+
+def test_ivf_centroids_deterministic(spark):
+    from sqoop_spark.pipeline import ivf_centroids
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    a = ivf_centroids(emb, n_centroids=6).toPandas()
+    b = ivf_centroids(emb, n_centroids=6).toPandas()
+    assert len(a) == 6
+    assert sorted(a.centroid_id) == list(range(6))
+    assert a.sort_values("centroid_id")._kv.map(tuple).tolist() == (
+        b.sort_values("centroid_id")._kv.map(tuple).tolist()
+    )
+
+
+def test_ivf_query_path_broadcasts(spark):
+    """The probe join must broadcast the query side — the corpus is never
+    re-shuffled at query time (the plan property that survives 10^9 rows)."""
+    from sqoop_spark.pipeline import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
