@@ -121,6 +121,7 @@ def main() -> None:
     # -- training-data pipeline plan evidence (round 2) ----------------------
     from sqoop_spark.pipeline import (
         embedding_dedup_pairs,
+        ivf_cosine_topk,
         jaccard_pairs,
         minhash_lsh_pairs,
     )
@@ -161,6 +162,22 @@ def main() -> None:
             "not N²) and the exact cosine verifies inside the same stage — "
             "all JVM-side higher-order functions, no UDFs.",
             formatted(ed),
+        )
+    )
+
+    ivf = ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=3, n_centroids=8, n_probes=2
+    )
+    sections.append(
+        (
+            "IVF inverted-file ANN (partition-pruned query path)",
+            "Centroid selection is a distributed top-K (TakeOrderedAndProject"
+            ", no global sort); assignment crossjoins the broadcast centroid "
+            "set and reduces with one map-side-combined max_by (the single "
+            "N-row Exchange — the index build, reusable across query "
+            "batches); the probe join is a BroadcastHashJoin on the query "
+            "side, so the corpus is never re-shuffled at query time.",
+            formatted(ivf),
         )
     )
 
