@@ -113,19 +113,18 @@ def _signature(vec, dim: int, n_planes: int, seed: int, hash_fn: str = "xxhash64
 
     Plane p's component j is derived from (seed, p, j) — the planes are
     regenerated wherever needed, nothing to broadcast, which matters when
-    the plan is shipped to 1000 executors.
+    the plan is shipped to 1000 executors. Each plane's component array is
+    built from literal indices, so Catalyst's ConstantFolding collapses the
+    dim hash computations to ONE literal array at plan time — per row the
+    executors do only the multiply-add fold, not dim × n_planes hashes.
     """
     bits = []
     for p in range(n_planes):
+        comps = F.array(
+            *[_plane_component(F.lit(j), p, seed, hash_fn) for j in range(dim)]
+        )
         comp = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                # note: zip_with builds the expression eagerly, so the loop
-                # variable p is captured at its current value — and the
-                # lambda must stay 2-arg (PySpark reads the arity)
-                lambda x, j: x.cast("double") * _plane_component(j, p, seed, hash_fn),
-            ),
+            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
