@@ -486,3 +486,21 @@ def test_ivf_query_path_broadcasts(spark):
         emb, emb.filter(F.col("vec_id") < 3), k=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_signature_planes_constant_folded(spark):
+    """Hyperplane components are literal-index expressions, so Catalyst's
+    ConstantFolding must collapse them to literal arrays at plan time —
+    executors do only the multiply-add fold, never dim × n_planes hashes
+    per row. Pin it: no hash call survives in the optimized plan."""
+    from sqoop_spark.pipeline import embedding_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    for hash_fn, fn_name in (("sha256", "sha2"), ("xxhash64", "xxhash64")):
+        plan = (
+            embedding_dedup_pairs(emb, threshold=0.5, hash_fn=hash_fn)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert fn_name not in plan, f"{hash_fn} components not folded"
