@@ -245,6 +245,37 @@ def _centroid_cos(vec, kv):
     return _dot(vec, kv) / (_norm(vec) * _norm(kv))
 
 
+def _make_top_cents_udf(spark, cents_rows, n_best: int):
+    """Arrow-vectorized nearest-centroid assignment: one numpy/BLAS
+    ``batch × centroidᵀ`` matrix multiply per Arrow batch against the
+    broadcast row-normalized centroid matrix. Returns the ``n_best``
+    nearest centroid ids, ties to the smaller id (stable argsort over
+    id-ordered columns). This is dense linear algebra — exactly the
+    workload where a pandas UDF beats per-row JVM expression trees."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.stack(
+        [np.asarray(r, dtype="float64") for r in cents_rows]
+    )  # rows already in centroid_id order 0..K-1
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(cn)
+
+    def _top_cents(vs):
+        m = bc.value
+        out = []
+        V = np.stack([np.asarray(v, dtype="float64") for v in vs])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ m.T  # (batch, K) cosine matrix
+        order = np.argsort(-S, axis=1, kind="stable")[:, :n_best]
+        for row in order:
+            out.append(row.astype("int32").tolist())
+        return pd.Series(out)
+
+    return pandas_udf(_top_cents, "array<int>")
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -255,61 +286,85 @@ def ivf_cosine_topk(
     n_probes: int = 2,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    method: str = "expr",
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k — the
     partition-pruned scale path beside ``lsh_cosine_topk``.
 
-    Build: every corpus vector joins the K broadcast centroids (map-only)
-    and keeps its nearest via one map-side-combined ``max_by`` aggregation
-    — the inverted index, the single N-row shuffle in the plan, paid once
-    and reusable across query batches. Query: each query picks its
-    ``n_probes`` nearest centroids and searches ONLY those inverted lists;
-    the probe join broadcasts the (small) query side, so the corpus is
-    never re-shuffled at query time and the scanned volume is
-    ~``n_probes/K`` of the corpus. Deterministic: assignment ties break
-    toward the smaller centroid id. Emitted cosines are exact — IVF, like
-    the LSH variant, affects recall only; ``n_probes == n_centroids``
-    degenerates to the exact ``cosine_topk`` result.
+    Build: every corpus vector is assigned to its nearest centroid — the
+    inverted index, paid once and reusable across query batches. Query:
+    each query picks its ``n_probes`` nearest centroids and searches ONLY
+    those inverted lists; the probe join broadcasts the (small) query
+    side, so the corpus is never re-shuffled at query time and the
+    scanned volume is ~``n_probes/K`` of the corpus. Deterministic:
+    assignment ties break toward the smaller centroid id. Emitted cosines
+    are exact — IVF, like the LSH variant, affects recall only;
+    ``n_probes == n_centroids`` degenerates to the exact ``cosine_topk``
+    result.
+
+    Two assignment strategies (pytest-pinned to agree):
+
+    - ``method="expr"`` — pure Catalyst: broadcast-crossjoin the K
+      centroids, reduce with one map-side-combined ``max_by``. Fully
+      DuckDB-oracle-able (with ``hash_fn="sha256"``), but materializes
+      N × K join rows — right for small K.
+    - ``method="pandas"`` — Arrow-vectorized: one numpy/BLAS matmul per
+      batch against the broadcast normalized centroid matrix (collected
+      once — K × dim doubles, bounded). No crossjoin, no aggregation:
+      the index build is a pure map, which is the shape that survives
+      K = tens of thousands of centroids at 10^9 vectors.
     """
     n_probes = max(1, min(n_probes, n_centroids))
-    cents = F.broadcast(
-        ivf_centroids(corpus, n_centroids, id_col, vec_col, seed, hash_fn)
-    )
+    cents_df = ivf_centroids(corpus, n_centroids, id_col, vec_col, seed, hash_fn)
+    cents = F.broadcast(cents_df)
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    index = (
-        c.crossJoin(cents)
-        .select(
-            "neighbor_id",
-            "_cv",
-            "centroid_id",
-            _centroid_cos(F.col("_cv"), F.col("_kv")).alias("_ccos"),
-        )
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by(
-                "centroid_id", F.struct(F.col("_ccos"), (-F.col("centroid_id")))
-            ).alias("centroid_id"),
-            F.first("_cv").alias("_cv"),
-        )
-    )
-
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("_ccos").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        q.crossJoin(cents)
-        .select(
-            "query_id",
-            "_qv",
-            "centroid_id",
-            _centroid_cos(F.col("_qv"), F.col("_kv")).alias("_ccos"),
+
+    if method == "pandas":
+        # Bounded driver collect (K rows, id-ordered) -> broadcast matrix.
+        rows = cents_df.orderBy("centroid_id").collect()
+        spark = corpus.sparkSession
+        assign1 = _make_top_cents_udf(spark, [r["_kv"] for r in rows], 1)
+        assignp = _make_top_cents_udf(spark, [r["_kv"] for r in rows], n_probes)
+        index = c.withColumn("centroid_id", assign1(F.col("_cv"))[0])
+        probes = q.withColumn(
+            "centroid_id", F.explode(assignp(F.col("_qv")))
+        ).select("query_id", "_qv", "centroid_id")
+    elif method == "expr":
+        index = (
+            c.crossJoin(cents)
+            .select(
+                "neighbor_id",
+                "_cv",
+                "centroid_id",
+                _centroid_cos(F.col("_cv"), F.col("_kv")).alias("_ccos"),
+            )
+            .groupBy("neighbor_id")
+            .agg(
+                F.max_by(
+                    "centroid_id", F.struct(F.col("_ccos"), (-F.col("centroid_id")))
+                ).alias("centroid_id"),
+                F.first("_cv").alias("_cv"),
+            )
         )
-        .withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= n_probes)
-        .select("query_id", "_qv", "centroid_id")
-    )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("_ccos").desc(), F.col("centroid_id").asc()
+        )
+        probes = (
+            q.crossJoin(cents)
+            .select(
+                "query_id",
+                "_qv",
+                "centroid_id",
+                _centroid_cos(F.col("_qv"), F.col("_kv")).alias("_ccos"),
+            )
+            .withColumn("_pr", F.row_number().over(wq))
+            .filter(F.col("_pr") <= n_probes)
+            .select("query_id", "_qv", "centroid_id")
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}; use 'expr' or 'pandas'")
 
     scored = (
         index.join(F.broadcast(probes), "centroid_id")

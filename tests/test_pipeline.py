@@ -504,3 +504,28 @@ def test_signature_planes_constant_folded(spark):
             .toString()
         )
         assert fn_name not in plan, f"{hash_fn} components not folded"
+
+
+def test_ivf_pandas_assignment_matches_expr(spark):
+    """The Arrow/BLAS assignment path (one matmul per batch, no crossjoin)
+    must produce the same inverted lists — and therefore the same top-k —
+    as the Catalyst expression path."""
+    from sqoop_spark.pipeline import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cols = ["query_id", "neighbor_id", "rank"]
+    a = (
+        ivf_cosine_topk(emb, queries, k=3, n_centroids=8, n_probes=2)
+        .toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    b = (
+        ivf_cosine_topk(
+            emb, queries, k=3, n_centroids=8, n_probes=2, method="pandas"
+        )
+        .toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    assert a[cols].equals(b[cols])
+    assert a.cosine.tolist() == pytest.approx(b.cosine.tolist())
+    with pytest.raises(ValueError, match="unknown method"):
+        ivf_cosine_topk(emb, queries, method="nope")
