@@ -529,3 +529,20 @@ def test_ivf_pandas_assignment_matches_expr(spark):
     assert a.cosine.tolist() == pytest.approx(b.cosine.tolist())
     with pytest.raises(ValueError, match="unknown method"):
         ivf_cosine_topk(emb, queries, method="nope")
+
+
+def test_ivf_more_centroids_than_rows(spark):
+    """K larger than the corpus degrades gracefully: every row becomes its
+    own centroid and the result equals brute force."""
+    from sqoop_spark.pipeline import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(12)
+    queries = emb.filter(F.col("vec_id") < 2)
+    got = ivf_cosine_topk(
+        emb, queries, k=3, n_centroids=50, n_probes=50
+    ).toPandas()
+    exact = cosine_topk(emb, queries, k=3).toPandas()
+    cols = ["query_id", "neighbor_id", "rank"]
+    assert got.sort_values(cols).reset_index(drop=True)[cols].equals(
+        exact.sort_values(cols).reset_index(drop=True)[cols]
+    )
