@@ -57,6 +57,12 @@ class ReplayReport:
     def rows_applied(self) -> int:
         return sum(b.rows_applied for b in self.batches)
 
+    @property
+    def counters_missing(self) -> bool:
+        """True if any batch's events_in Observation missed — events_seen
+        then under-counts and count-based validation must not abort."""
+        return any(b.counters_missing for b in self.batches)
+
     def summary_line(self) -> str:
         """PerfCounters-style self-report — mirrors the reference's
         "Transferred N MB in S seconds (X KB/sec)" + "Retrieved N records."

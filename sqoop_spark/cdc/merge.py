@@ -72,6 +72,11 @@ class MergeStats:
     deleted: int
     buckets_touched: int
     buckets_total: int
+    #: True when the events_in Observation missed (AQE-eliminated metrics
+    #: node / unreachable listener bus) and rows_in defaulted to 0 — lets
+    #: --validate distinguish "no rows transferred" from "counters
+    #: unavailable" instead of raising a spurious ValidationFailure.
+    counters_missing: bool = False
 
     @property
     def rows_applied(self) -> int:
@@ -331,7 +336,8 @@ def _merge_apply_mor(
     got = _safe_observation(obs_out, obs_timeout)
     rows_out = int(got.get("rows_out") or 0)
     deletes = int(got.get("deletes") or 0)
-    rows_in = int(_safe_observation(obs_in, obs_timeout).get("events_in") or 0)
+    got_in = _safe_observation(obs_in, obs_timeout)
+    rows_in = int(got_in.get("events_in") or 0)
 
     new_files = [e for e in manifest["files"] if e.get("delta") and e["path"] not in
                  {x["path"] for x in table.manifest(manifest["parent"])["files"]}]
@@ -371,6 +377,7 @@ def _merge_apply_mor(
         deleted=deletes,
         buckets_touched=len(affected),
         buckets_total=table.num_buckets,
+        counters_missing="events_in" not in got_in,
     )
 
 
@@ -657,7 +664,8 @@ def merge_apply(
         else:
             old_rows_touched = sum(e["rows"] for e in pm["files"] if e["bucket"] in bs)
     deleted = old_rows_touched - carried - updated
-    rows_in = int(_safe_observation(obs_in, obs_timeout).get("events_in") or 0)
+    got_in = _safe_observation(obs_in, obs_timeout)
+    rows_in = int(got_in.get("events_in") or 0)
 
     # Per-bucket lineage from the freshly committed manifest's file rows —
     # the per-partition checkpoint/lineage manifest with counters the north
@@ -691,4 +699,5 @@ def merge_apply(
         deleted=deleted,
         buckets_touched=len(affected),
         buckets_total=table.num_buckets,
+        counters_missing="events_in" not in got_in,
     )

@@ -67,14 +67,26 @@ def _load_source(spark: SparkSession, args):
 
         m = args.num_mappers or 4
         bounds = None
-        if m > 1:
-            if not args.split_by:
+        if m > 1 and not args.split_by:
+            if getattr(args, "query", None):
                 from sqoop_spark.errors import EngineError
 
                 raise EngineError(
                     "When importing query results in parallel, you must "
                     "specify --split-by."
                 )
+            # Table mode: the reference auto-splits on the primary key
+            # (ImportTool.getSplitColumn); without catalog access we fall
+            # back to a single split instead of failing with the
+            # query-mode error text (round-2 ADVICE).
+            print(
+                f"WARNING: no --split-by for table import {args.table}; "
+                "falling back to a single split (-m 1). Pass --split-by "
+                "for a parallel import.",
+                file=sys.stderr,
+            )
+            m = 1
+        if m > 1:
             bsql = bounding_query(
                 args.split_by,
                 table=None if getattr(args, "query", None) else args.table,
@@ -139,10 +151,15 @@ def cmd_import(args) -> int:
         )
     spark = _session(args)
     df = _load_source(spark, args)
-    if args.columns:
-        df = df.select(*[c.strip() for c in args.columns.split(",")])
-    if args.where:
-        df = df.filter(args.where)
+    # For --connect imports, --columns/--where are already pushed into the
+    # JDBC subquery by _load_source — re-applying them Spark-side would
+    # break on vendor-specific WHERE syntax Spark's parser rejects, and on
+    # --columns that excludes a column --where references.
+    if not getattr(args, "connect", None):
+        if args.columns:
+            df = df.select(*[c.strip() for c in args.columns.split(",")])
+        if args.where:
+            df = df.filter(args.where)
     if args.map_column:
         mapping = dict(kv.split("=", 1) for kv in args.map_column.split(","))
         df = apply_type_mapping(df, mapping)
@@ -205,6 +222,16 @@ def cmd_import(args) -> int:
             validation = (
                 "Validation skipped: resume run skipped already-fenced "
                 f"batches {report.skipped_batch_ids}"
+            )
+        elif report.counters_missing:
+            # events_seen is Observation-derived; when the metrics node was
+            # AQE-eliminated or the listener bus unreachable the counters
+            # default to 0 — a successful import must not hard-abort on a
+            # vacuous comparison (the WARN path of merge._safe_observation).
+            validation = (
+                "Validation inconclusive: transfer counters unavailable "
+                "(observation miss); lineage rows_applied="
+                f"{report.rows_applied}"
             )
         else:
             lv = _coerce_last_value(
@@ -512,6 +539,8 @@ def _tables_under(path: str) -> list[str]:
 def cmd_list_tables(args) -> int:
     """ListTablesTool: tables under a lake path, or the JDBC catalog's
     (information_schema.tables) with --connect."""
+    if not getattr(args, "connect", None) and not args.path:
+        raise SystemExit("list-tables: one of --path or --connect is required")
     if getattr(args, "connect", None):
         spark = _session(args)
         df = spark.read.jdbc(
@@ -532,6 +561,8 @@ def cmd_list_databases(args) -> int:
     least one table (parquet file or lake-table dir); with --connect the
     JDBC catalog would be listed instead (needs a vendor driver on the
     classpath, same as the reference's manager.listDatabases)."""
+    if not getattr(args, "connect", None) and not args.path:
+        raise SystemExit("list-databases: one of --path or --connect is required")
     if getattr(args, "connect", None):
         spark = _session(args)
         df = spark.read.jdbc(

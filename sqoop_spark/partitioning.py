@@ -158,6 +158,78 @@ def decimal_split_points(lo, hi, num_splits: int) -> list:
     return pts
 
 
+def _sql_literal(v: Any) -> str:
+    """Render a split boundary as a SQL literal the way the reference's
+    ConnManager quotes per type (ConnManager.datetimeToQueryString:782-795
+    for temporals; strings escaped '' per ANSI)."""
+    import decimal
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, dt.datetime):
+        return f"'{v.isoformat(sep=' ')}'"
+    if isinstance(v, dt.date):
+        return f"'{v.isoformat()}'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _points_to_predicates(col: str, pts: Sequence[Any]) -> list[str]:
+    """Boundary points → per-split WHERE clauses, last interval closed
+    (the DataDrivenDBInputFormat.getSplits contract)."""
+    preds = []
+    for i in range(len(pts) - 1):
+        lo, hi = _sql_literal(pts[i]), _sql_literal(pts[i + 1])
+        op = "<=" if i == len(pts) - 2 else "<"
+        preds.append(f"{col} >= {lo} AND {col} {op} {hi}")
+    return preds
+
+
+def split_predicates_for_bounds(
+    col: str, lo: Any, hi: Any, num_splits: int, split_limit: int = -1
+) -> list[str]:
+    """Typed splitter dispatch — DataDrivenDBInputFormat.getSplitter
+    (:161-200): pick the per-type splitter from the bound values' type and
+    render the per-split WHERE clauses. Integer bounds take the exact
+    IntegerSplitter math (with --split-limit); temporals the DateSplitter
+    epoch-micros delegation (split_limit in seconds); Decimal/float/text
+    their interpolating splitters; boolean the 3-way fan-out."""
+    import decimal
+
+    if isinstance(lo, bool) or isinstance(hi, bool):
+        return boolean_split_predicates(col, with_null=False)
+    if isinstance(lo, int) and isinstance(hi, int):
+        return integer_split_predicates(col, lo, hi, num_splits, split_limit)
+    if isinstance(lo, dt.datetime) and isinstance(hi, dt.datetime):
+        pts = date_split_points(lo, hi, num_splits, split_limit)
+    elif isinstance(lo, dt.date) and isinstance(hi, dt.date):
+        lo_dt = dt.datetime(lo.year, lo.month, lo.day)
+        hi_dt = dt.datetime(hi.year, hi.month, hi.day)
+        pts = [p.date() for p in date_split_points(lo_dt, hi_dt, num_splits, split_limit)]
+    elif isinstance(lo, decimal.Decimal) or isinstance(hi, decimal.Decimal):
+        pts = decimal_split_points(lo, hi, num_splits)
+    elif isinstance(lo, float) or isinstance(hi, float):
+        pts = float_split_points(float(lo), float(hi), num_splits)
+    elif isinstance(lo, str) and isinstance(hi, str):
+        pts = text_split_points(lo, hi, num_splits)
+    else:
+        raise ValueError(
+            f"no splitter for --split-by bounds of type "
+            f"{type(lo).__name__}/{type(hi).__name__}; supported: int, "
+            "float, Decimal, str, date, datetime, bool"
+        )
+    # interpolating splitters can emit duplicate consecutive boundaries on
+    # degenerate ranges — collapse them so no split is empty-by-construction
+    dedup = [pts[0]]
+    for p in pts[1:]:
+        if p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) == 1:
+        dedup.append(hi)
+    return _points_to_predicates(col, dedup)
+
+
 def boolean_split_predicates(col: str, with_null: bool = True) -> list[str]:
     """BooleanSplitter: ≤3 splits — FALSE, TRUE, IS NULL (:39-60)."""
     preds = [f"{col} = FALSE", f"{col} = TRUE"]

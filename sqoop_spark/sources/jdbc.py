@@ -43,7 +43,7 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Iterable, Iterator, Sequence
 
 from sqoop_spark.errors import EngineError
-from sqoop_spark.partitioning import integer_split_predicates
+from sqoop_spark.partitioning import split_predicates_for_bounds
 
 CONDITIONS_TOKEN = "$CONDITIONS"
 
@@ -162,11 +162,24 @@ def build_import_plan(
             "split bounds required: probe them with probe_bounds(spark, url, "
             "plan.bounds_sql) or pass bounds=(lo, hi)"
         )
+    if columns and split_by not in columns:
+        # Predicates apply as an outer WHERE on the subquery, so a split
+        # column missing from the projection would fail database-side (the
+        # reference injects $CONDITIONS before projection instead) —
+        # validate up front with a clear message.
+        raise EngineError(
+            f"--split-by column {split_by!r} must be included in --columns "
+            "(split predicates apply over the projected subquery)"
+        )
     lo, hi = bounds
     if lo is None or hi is None:
         # all-NULL split column: one IS NULL split (getSplits NULL handling)
         return JdbcImportPlan(url, dbtable, [f"{split_by} IS NULL"], props, bsql)
-    preds = integer_split_predicates(split_by, int(lo), int(hi), num_mappers, split_limit)
+    try:
+        # typed splitter dispatch (integer/date/decimal/text/float/boolean)
+        preds = split_predicates_for_bounds(split_by, lo, hi, num_mappers, split_limit)
+    except ValueError as e:
+        raise EngineError(str(e)) from None
     # NULL rows must not be dropped by the range predicates — the reference
     # appends an IS NULL split (DataDrivenDBInputFormat.java:204-210).
     preds.append(f"{split_by} IS NULL")

@@ -471,3 +471,14 @@ def test_cli_import_validate(spark, scratch, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["events_seen"] == 0
     assert out["validation"].startswith("Validation skipped: resume run")
+
+
+def test_cli_list_tools_require_path_or_connect():
+    """Round-2 ADVICE: neither --path nor --connect is a usage error, not a
+    TypeError from os.path.join(None, ...)."""
+    from sqoop_spark.cli import main as cli_main
+
+    with pytest.raises(SystemExit, match="one of --path or --connect"):
+        cli_main(["list-tables"])
+    with pytest.raises(SystemExit, match="one of --path or --connect"):
+        cli_main(["list-databases"])

@@ -348,3 +348,59 @@ def test_split_predicates_partition_range_property():
         assert not any(matches(hi + 1, p) for p in preds)
 
     check()
+
+
+# -- typed splitter dispatch (round-2 ADVICE: non-integer --split-by) -------
+
+
+def test_plan_datetime_split_by():
+    """DateSplitter dispatch: timestamp bounds yield quoted temporal
+    predicates instead of an int() TypeError (DateSplitter.java:30-120)."""
+    import datetime as dt
+
+    lo = dt.datetime(2024, 1, 1, 0, 0, 0)
+    hi = dt.datetime(2024, 1, 3, 0, 0, 0)
+    plan = build_import_plan(
+        URL, table="orders", split_by="ts", num_mappers=2, bounds=(lo, hi)
+    )
+    ranged = [p for p in plan.predicates if "IS NULL" not in p]
+    assert len(ranged) == 2
+    assert ranged[0] == "ts >= '2024-01-01 00:00:00' AND ts < '2024-01-02 00:00:00'"
+    assert ranged[-1] == "ts >= '2024-01-02 00:00:00' AND ts <= '2024-01-03 00:00:00'"
+
+
+def test_plan_decimal_and_text_split_by():
+    from decimal import Decimal
+
+    plan = build_import_plan(
+        URL, table="t", split_by="amt", num_mappers=2,
+        bounds=(Decimal("0"), Decimal("10")),
+    )
+    ranged = [p for p in plan.predicates if "IS NULL" not in p]
+    assert ranged[0].startswith("amt >= 0 AND amt < 5")
+    assert ranged[-1].endswith("<= 10")
+
+    plan = build_import_plan(
+        URL, table="t", split_by="name", num_mappers=2, bounds=("alpha", "omega")
+    )
+    ranged = [p for p in plan.predicates if "IS NULL" not in p]
+    assert len(ranged) == 2
+    assert ranged[0].startswith("name >= 'alpha'")
+    assert ranged[-1].endswith("<= 'omega'")
+
+
+def test_plan_unsupported_bound_type_clear_error():
+    with pytest.raises(EngineError, match="no splitter for --split-by bounds"):
+        build_import_plan(
+            URL, table="t", split_by="blob", num_mappers=2, bounds=(object(), object())
+        )
+
+
+def test_plan_split_by_must_be_in_columns():
+    """--columns excluding the split column fails DB-side (outer WHERE over
+    the projected subquery) — validated up front with a clear message."""
+    with pytest.raises(EngineError, match="must be included in --columns"):
+        build_import_plan(
+            URL, table="t", columns=["a", "b"], split_by="id",
+            num_mappers=2, bounds=(0, 10),
+        )
