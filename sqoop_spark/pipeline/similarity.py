@@ -41,18 +41,60 @@ def _norm(a):
     )
 
 
+def _pair_cosine_udf():
+    """Arrow-vectorized exact cosine of two array columns: one numpy batch
+    (row-wise einsum dot + norms) per Arrow batch.
+
+    Catalyst evaluates higher-order functions (``F.aggregate``/``zip_with``)
+    per-element WITHOUT codegen, so the expr cosine pays ~dim interpreted
+    ops per candidate pair — measurably the slowest part of the bucketed
+    ANN/dedup verifies at bench scale. This is the same dense-linear-algebra
+    workload as IVF's ``_make_top_cents_udf``: one BLAS-backed batch op
+    replaces millions of expression-tree evaluations. Numerically the two
+    paths agree to ~1e-15 relative (double arithmetic, different summation
+    order), pytest-pinned at the 6-decimal rounding every consumer applies.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(x, dtype="float64") for x in a])
+        B = np.stack([np.asarray(x, dtype="float64") for x in b])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return pandas_udf(_cos, "double")
+
+
+def _cosine_col(a, b, method: str):
+    """Exact pair cosine as a Column: ``method="pandas"`` (Arrow/BLAS fast
+    path, default everywhere) or ``"expr"`` (pure-Catalyst higher-order
+    functions — the DuckDB-translatable twin, pytest-pinned equal)."""
+    if method == "pandas":
+        return _pair_cosine_udf()(a, b)
+    if method == "expr":
+        return _dot(a, b) / (_norm(a) * _norm(b))
+    raise ValueError(f"unknown cosine method {method!r}; use 'pandas' or 'expr'")
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "pandas",
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus.
 
     Returns (query_id, neighbor_id, rank, cosine). Self-matches excluded.
     The query side is broadcast — top-k search with a small query set is a
     map-only pass over the corpus followed by one per-query window.
+    ``method``: see ``_cosine_col``.
     """
     q = F.broadcast(
         queries.select(
@@ -66,9 +108,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias(
-                "cosine"
-            ),
+            _cosine_col(F.col("_qv"), F.col("_cv"), method).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -146,6 +186,7 @@ def lsh_cosine_topk(
     seed: int = 42,
     n_probes: int = 1,
     hash_fn: str = "xxhash64",
+    method: str = "pandas",
 ) -> DataFrame:
     """Approximate cosine top-k: search the query's LSH bucket, plus —
     with ``n_probes > 1`` — its Hamming-1 neighbor buckets (multi-probe).
@@ -189,9 +230,8 @@ def lsh_cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("_query_id_v"), F.col("_neighbor_id_v"))
-                / (_norm(F.col("_query_id_v")) * _norm(F.col("_neighbor_id_v")))
+            _cosine_col(
+                F.col("_query_id_v"), F.col("_neighbor_id_v"), method
             ).alias("cosine"),
         )
     )
@@ -287,6 +327,7 @@ def ivf_cosine_topk(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     method: str = "expr",
+    verify_method: str = "pandas",
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k — the
     partition-pruned scale path beside ``lsh_cosine_topk``.
@@ -372,10 +413,7 @@ def ivf_cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("_qv"), F.col("_cv"))
-                / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
-            ).alias("cosine"),
+            _cosine_col(F.col("_qv"), F.col("_cv"), verify_method).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -393,6 +431,7 @@ def embedding_cosine_pairs_exact(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "pandas",
 ) -> DataFrame:
     """Exact embedding near-dup join: every (id_a < id_b) pair with
     cosine ≥ threshold. O(N²) self-join — the verification baseline; use
@@ -404,11 +443,31 @@ def embedding_cosine_pairs_exact(
         .select(
             "id_a",
             "id_b",
-            (_dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))).alias(
-                "cosine"
-            ),
+            _cosine_col(F.col("_va"), F.col("_vb"), method).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def recommend_n_planes(n_rows: int, target_bucket_size: int = 1024) -> int:
+    """Hyperplane count that keeps expected LSH bucket size near
+    ``target_bucket_size``: n_planes = ceil(log2(N / target)).
+
+    With H planes there are 2^H buckets; under a roughly uniform signature
+    distribution the self-join volume is Σ b_i² ≈ N²/2^H, so holding
+    N/2^H ≈ target bounds per-bucket pair work at ~N·target regardless of
+    corpus size — the sizing rule that keeps ``embedding_dedup_pairs``
+    linear-ish at 10^9 vectors (each added plane halves join volume and
+    costs one more sign-bit recall haircut; see the recall math in
+    ``embedding_dedup_pairs``). Clamped to [1, 30].
+    """
+    import math
+
+    if n_rows <= 0:
+        return 1
+    return max(
+        1,
+        min(30, math.ceil(math.log2(max(2.0, n_rows / max(1, target_bucket_size))))),
     )
 
 
@@ -421,6 +480,9 @@ def embedding_dedup_pairs(
     n_planes: int = 4,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    method: str = "pandas",
+    expected_rows: int | None = None,
+    pair_budget: float = 1e12,
 ) -> DataFrame:
     """Embedding-cosine near-dup join, LSH-bucketed: candidates share a
     hyperplane sign-bit bucket, then the exact cosine verifies ≥ threshold.
@@ -434,7 +496,30 @@ def embedding_dedup_pairs(
     separates them with probability ≤ 26/180 per plane — recall stays high
     exactly where dedup operates. ``hash_fn="sha256"`` makes the buckets
     DuckDB-reproducible for the driver oracle.
+
+    Sizing: the candidate join volume is ~N²/2^n_planes, so ``n_planes``
+    must GROW with the corpus — size it with ``recommend_n_planes(N)``
+    (n_planes = ceil(log2(N/target_bucket_size))). Pass ``expected_rows``
+    (a known/estimated corpus size — no job is run) and the function warns
+    when the estimated volume exceeds ``pair_budget``, naming the
+    recommended plane count; the default 4 planes is a small-corpus/test
+    setting, silently quadratic-ish at web scale without this check.
     """
+    if expected_rows is not None:
+        est_pairs = (expected_rows**2) / float(2**n_planes)
+        if est_pairs > pair_budget:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding_dedup_pairs: n_planes=%d gives ~%.2g candidate "
+                "pairs for %d rows (budget %.2g); use n_planes>=%d "
+                "(recommend_n_planes)",
+                n_planes,
+                est_pairs,
+                expected_rows,
+                pair_budget,
+                recommend_n_planes(expected_rows),
+            )
     sig = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -448,9 +533,6 @@ def embedding_dedup_pairs(
     ).select(
         F.col("a._id").alias("id_a"),
         F.col("b._id").alias("id_b"),
-        (
-            _dot(F.col("a._v"), F.col("b._v"))
-            / (_norm(F.col("a._v")) * _norm(F.col("b._v")))
-        ).alias("cosine"),
+        _cosine_col(F.col("a._v"), F.col("b._v"), method).alias("cosine"),
     )
     return cands.filter(F.col("cosine") >= threshold)

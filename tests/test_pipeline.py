@@ -546,3 +546,75 @@ def test_ivf_more_centroids_than_rows(spark):
     assert got.sort_values(cols).reset_index(drop=True)[cols].equals(
         exact.sort_values(cols).reset_index(drop=True)[cols]
     )
+
+
+def test_pair_cosine_pandas_pinned_to_expr(spark):
+    """The Arrow/BLAS pair-cosine path must agree with the Catalyst expr
+    path (the DuckDB-oracle twin) at the 6-decimal rounding every consumer
+    applies — for LSH top-k, embedding dedup, and exact top-k."""
+    from sqoop_spark.pipeline import embedding_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def canon(pdf, keys):
+        pdf = pdf.copy()
+        pdf["cosine"] = pdf["cosine"].round(6)
+        return pdf.sort_values(keys).reset_index(drop=True)
+
+    for fn, kw, keys in [
+        (lsh_cosine_topk, dict(k=3), ["query_id", "neighbor_id"]),
+        (cosine_topk, dict(k=5), ["query_id", "neighbor_id"]),
+    ]:
+        a = canon(fn(emb, queries, method="expr", **kw).toPandas(), keys)
+        b = canon(fn(emb, queries, method="pandas", **kw).toPandas(), keys)
+        pd.testing.assert_frame_equal(a, b)
+
+    a = canon(
+        embedding_dedup_pairs(emb, threshold=0.2, method="expr").toPandas(),
+        ["id_a", "id_b"],
+    )
+    b = canon(
+        embedding_dedup_pairs(emb, threshold=0.2, method="pandas").toPandas(),
+        ["id_a", "id_b"],
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_recommend_n_planes_sizing_rule():
+    """n_planes = ceil(log2(N/target)): each added plane halves the
+    expected self-join volume; the rule pins it to ~N x target pairs."""
+    from sqoop_spark.pipeline.similarity import recommend_n_planes
+
+    assert recommend_n_planes(0) == 1
+    assert recommend_n_planes(1024, target_bucket_size=1024) == 1
+    assert recommend_n_planes(2048, target_bucket_size=1024) == 1
+    assert recommend_n_planes(1 << 20, target_bucket_size=1024) == 10
+    assert recommend_n_planes(10**9, target_bucket_size=1024) == 20
+    # clamp: absurd corpus sizes can't blow past 30 planes (int bucket ids)
+    assert recommend_n_planes(10**18, target_bucket_size=1) == 30
+    # expected bucket size under the recommendation stays <= target
+    for n in (10**6, 10**8, 10**9):
+        h = recommend_n_planes(n)
+        assert n / 2**h <= 1024
+
+
+def test_embedding_dedup_sizing_warning(spark, caplog):
+    """Passing expected_rows over budget emits the sizing warning naming
+    the recommended plane count (no warning when within budget)."""
+    import logging
+
+    from sqoop_spark.pipeline import embedding_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    with caplog.at_level(logging.WARNING, logger="sqoop_spark.pipeline.similarity"):
+        embedding_dedup_pairs(
+            emb, threshold=0.9, n_planes=4, expected_rows=10**9, pair_budget=1e12
+        )
+    assert any("n_planes>=" in r.getMessage() for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="sqoop_spark.pipeline.similarity"):
+        embedding_dedup_pairs(
+            emb, threshold=0.9, n_planes=4, expected_rows=1000, pair_budget=1e12
+        )
+    assert not caplog.records
