@@ -33,6 +33,7 @@ from sqoop_spark.pipeline import (
     lang_id,
     lsh_cosine_topk,
     minhash_lsh_pairs,
+    minhash_signatures,
     quality_score,
     simhash,
     token_count,
@@ -549,11 +550,37 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media columns → mapInPandas feature extraction (rows-only;
-    stubbed decode, real Arrow plumbing)."""
+    """Binary media columns → mapInPandas feature extraction with the REAL
+    pure-numpy codecs (PPM images / RIFF-WAVE PCM audio / VID0 frame
+    container). Payload bytes are closed-form in media_id, and every
+    feature is an integer sum divided once in IEEE double — so DuckDB
+    recomputes the full pipeline (container sizes included) from range(500)
+    as a value-hash oracle."""
     feats = extract_features(synthesize_media(spark, 500))
     return feats.select(
-        "media_id", "modality", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+        "media_id",
+        "modality",
+        "n_bytes",
+        *[
+            F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures alone (the reusable index artifact) with the
+    portable sha256 hash — each of the 16 permutation minima value-checked
+    against DuckDB's identical min-aggregates."""
+    sig = minhash_signatures(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 200),
+        k=3,
+        num_perm=16,
+        hash_fn="sha256",
+    )
+    return sig.select(
+        "doc_id",
+        *[F.element_at("signature", p + 1).alias(f"h{p}") for p in range(16)],
     )
 
 
@@ -605,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
+        "minhash_signatures": q_minhash_signatures,
     }
 
 
@@ -863,6 +891,81 @@ FROM s WHERE cosine >= {threshold}
 """
 
 
+def _multimodal_sql(n: int = 500) -> str:
+    """DuckDB twin of extract_features(synthesize_media(n), decode='numpy'):
+    payload bytes are closed-form in media_id (see multimodal module
+    docstring), so container sizes (PPM header + pixels / 44-byte WAV /
+    VID0 framing) and the integer-sum features are recomputed from
+    range(n) — no binary parsing needed on the oracle side. All divisions
+    are one IEEE double op over exact integer sums, matching numpy."""
+    hdr = (
+        "length('P6' || chr(10) || w::VARCHAR || ' ' || h::VARCHAR || "
+        "chr(10) || '255' || chr(10))::BIGINT"
+    )
+    return f"""
+WITH m AS (SELECT range::BIGINT AS id FROM range({n})),
+iser AS (SELECT unnest(range(0, 432))::BIGINT AS i),
+fser AS (SELECT unnest(range(0, 5))::BIGINT AS f),
+img AS (SELECT id, 4 + id%13 AS w, 3 + id%7 AS h FROM m WHERE id%3 = 0),
+imga AS (
+  SELECT img.id, img.w, img.h,
+         sum((img.id*31 + iser.i*7) % 256) AS s
+  FROM img JOIN iser ON iser.i < img.w*img.h*3
+  GROUP BY img.id, img.w, img.h
+),
+aud AS (SELECT id, 64 + id%129 AS n FROM m WHERE id%3 = 1),
+auda AS (
+  SELECT aud.id, aud.n,
+         sum(((aud.id*13 + iser.i*5) % 65536) - 32768) AS s,
+         sum(abs(((aud.id*13 + iser.i*5) % 65536) - 32768)) AS sa
+  FROM aud JOIN iser ON iser.i < aud.n
+  GROUP BY aud.id, aud.n
+),
+vid AS (SELECT id, 1 + id%5 AS nf, 4 + id%5 AS w, 3 + id%3 AS h
+        FROM m WHERE id%3 = 2),
+vida AS (
+  SELECT vid.id, vid.nf, vid.w, vid.h,
+         sum((vid.id*31 + fser.f*131 + iser.i*7) % 256) AS s
+  FROM vid JOIN fser ON fser.f < vid.nf
+           JOIN iser ON iser.i < vid.w*vid.h*3
+  GROUP BY vid.id, vid.nf, vid.w, vid.h
+)
+SELECT id AS media_id, 'image' AS modality,
+       {hdr} + w*h*3 AS n_bytes,
+       round(w::DOUBLE, 6) AS f0, round(h::DOUBLE, 6) AS f1,
+       round((w*h*3)::DOUBLE, 6) AS f2, round(s / (w*h*3), 6) AS f3
+FROM imga
+UNION ALL
+SELECT id, 'audio', 44 + 2*n,
+       round(n::DOUBLE, 6), round(16000.0, 6), round(s / n, 6),
+       round(sa / n, 6)
+FROM auda
+UNION ALL
+SELECT id, 'video', 8 + nf * (4 + {hdr} + w*h*3),
+       round(nf::DOUBLE, 6), round(w::DOUBLE, 6), round(h::DOUBLE, 6),
+       round(s / (nf*w*h*3), 6)
+FROM vida
+"""
+
+
+def _minhash_sig_sql(k: int = 3, num_perm: int = 16) -> str:
+    """DuckDB twin of minhash_signatures(hash_fn='sha256'): the same
+    per-permutation min-aggregates as _minhash_lsh_sql's sig CTE, emitted
+    as columns."""
+    sig_aggs = ",\n  ".join(
+        "min({h}) AS h{p}".format(h=_h60_sql(f"'{p}|' || s"), p=p)
+        for p in range(num_perm)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE doc_id < 200),
+sh AS (SELECT doc_id, unnest({_shingle_list_sql(k)}) AS s FROM d)
+SELECT doc_id,
+  {sig_aggs}
+FROM sh GROUP BY doc_id
+"""
+
+
 def _lang_scores_sql() -> str:
     """UNION ALL of (doc_id, lang, ord, score) rows per profile."""
     parts = []
@@ -1027,6 +1130,8 @@ WITH ce AS ({ce})
 SELECT op, count(*) AS n_rows FROM ce GROUP BY op
 """,
         "dedup_minhash_lsh": _minhash_lsh_sql(k=3, num_perm=16, bands=8, threshold=0.3),
+        "minhash_signatures": _minhash_sig_sql(k=3, num_perm=16),
+        "multimodal_features": _multimodal_sql(500),
         "ann_lsh_topk": _ann_lsh_sql(n_planes=4, seed=42, k=3),
         "ann_ivf_topk": _ann_ivf_sql(n_centroids=8, n_probes=2, seed=42, k=3),
         "dedup_embedding": _embedding_dedup_sql(threshold=0.2),

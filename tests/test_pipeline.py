@@ -180,25 +180,83 @@ def test_lsh_cosine_scores_exact_within_bucket(spark):
         assert exact_scores[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine)
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_real_codec_features(spark):
+    """decode='numpy' parses the real containers (PPM/WAV/VID0) and the
+    features match an independent pure-Python recomputation from the
+    closed-form byte generators."""
     media = synthesize_media(spark, 100)
-    feats = extract_features(media).toPandas()
+    feats = extract_features(media).toPandas().set_index("media_id")
     assert len(feats) == 100
     assert set(feats.modality) == {"image", "audio", "video"}
-    assert (feats.n_bytes == 256).all()  # 8 × 32-byte sha blocks
+    for mid in range(100):
+        mod = ("image", "audio", "video")[mid % 3]
+        row = feats.loc[mid]
+        assert row.modality == mod
+        if mod == "image":
+            w, h = 4 + mid % 13, 3 + mid % 7
+            vals = [(mid * 31 + i * 7) % 256 for i in range(w * h * 3)]
+            hdr = len(f"P6\n{w} {h}\n255\n")
+            assert row.n_bytes == hdr + w * h * 3
+            exp = [w, h, w * h * 3, sum(vals) / (w * h * 3)]
+            for c in range(3):
+                exp.append(sum(vals[c::3]) / (w * h))
+            exp.append(0.0)
+        elif mod == "audio":
+            n = 64 + mid % 129
+            s = [((mid * 13 + i * 5) % 65536) - 32768 for i in range(n)]
+            assert row.n_bytes == 44 + 2 * n
+            exp = [
+                n, 16000, sum(s) / n, sum(abs(x) for x in s) / n,
+                min(s), max(s), (sum(x * x for x in s) / n) ** 0.5, 0.0,
+            ]
+        else:
+            nf, w, h = 1 + mid % 5, 4 + mid % 5, 3 + mid % 3
+            vals = [
+                (mid * 31 + f * 131 + i * 7) % 256
+                for f in range(nf)
+                for i in range(w * h * 3)
+            ]
+            hdr = len(f"P6\n{w} {h}\n255\n")
+            assert row.n_bytes == 8 + nf * (4 + hdr + w * h * 3)
+            f0 = vals[: w * h * 3]
+            exp = [nf, w, h, sum(vals) / len(vals), sum(f0) / len(f0), 0, 0, 0]
+        got = list(row.features)
+        assert got == pytest.approx(exp, abs=0, rel=0), (mid, mod)
+
+
+def test_multimodal_codec_roundtrip():
+    """Pure-numpy codecs round-trip bit-exactly (no Spark needed)."""
+    from sqoop_spark.pipeline.multimodal import (
+        decode_ppm, decode_vid0, decode_wav, encode_ppm, encode_vid0, encode_wav,
+    )
+
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    s = (np.arange(100) * 371 % 65536 - 32768).astype(np.int16)
+    s2, sr = decode_wav(encode_wav(s, 22050))
+    assert sr == 22050 and (s2 == s).all()
+    frames = [px, px[::-1].copy()]
+    back = decode_vid0(encode_vid0(frames))
+    assert len(back) == 2 and all((a == b).all() for a, b in zip(back, frames))
+    with pytest.raises(ValueError, match="not a P6 PPM"):
+        decode_ppm(b"JUNK")
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"JUNK" * 4)
+
+
+def test_multimodal_fake_and_raise_paths(spark):
+    media = synthesize_media(spark, 10)
+    with pytest.raises(Exception, match="requires"):
+        extract_features(media, decode="raise").collect()
+    with pytest.raises(ValueError, match="unknown decode"):
+        extract_features(media, decode="bogus")
+    feats = extract_features(media, decode="fake").toPandas()
     f0 = feats.sort_values("media_id").features.iloc[0]
     assert len(f0) == 8 and all(0 <= x <= 1 for x in f0)
-    # determinism
-    again = extract_features(media).toPandas().sort_values("media_id")
+    again = extract_features(media, decode="fake").toPandas().sort_values("media_id")
     assert again.features.map(tuple).tolist() == feats.sort_values(
         "media_id"
     ).features.map(tuple).tolist()
-
-
-def test_multimodal_raise_stub(spark):
-    media = synthesize_media(spark, 10)
-    with pytest.raises(Exception, match="decode requires"):
-        extract_features(media, decode_stub="raise").collect()
 
 
 def test_jaccard_doc_freq_cap_bounds_blowup(spark, docs):
@@ -332,40 +390,56 @@ def test_embedding_dedup_pairs(spark):
 
 
 def test_multimodal_frame_sample(spark):
-    """1:N frame fan-out: only video rows cross into Python, frame count
-    follows the stub duration, output is deterministic."""
-    from sqoop_spark.pipeline.multimodal import frame_sample, synthesize_media
+    """1:N frame fan-out with the real VID0 codec: only video rows cross
+    into Python, the emitted frames ARE the container's PPM frames (capped
+    at max_frames), with real dimensions and f/fps timestamps."""
+    from sqoop_spark.pipeline.multimodal import (
+        decode_ppm, decode_vid0, frame_sample, synthesize_media,
+    )
 
     media = synthesize_media(spark, 60)
-    frames = frame_sample(media, fps=1.0, max_frames=4).toPandas()
-    vids = media.filter(F.col("modality") == "video").count()
-    assert set(frames.media_id.unique()) == set(
-        r.media_id for r in media.filter(F.col("modality") == "video").collect()
-    )
-    assert len(frames) == vids * 4  # 256-byte payloads → capped at max_frames
-    assert frames.frame.map(len).eq(32).all()  # sha256-sized stub frames
+    frames = frame_sample(media, fps=2.0, max_frames=3).toPandas()
+    vid_rows = media.filter(F.col("modality") == "video").collect()
+    assert set(frames.media_id.unique()) == {r.media_id for r in vid_rows}
+    by_mid = {r.media_id: bytes(r.payload) for r in vid_rows}
+    for mid, grp in frames.groupby("media_id"):
+        container = decode_vid0(by_mid[mid])
+        assert len(grp) == min(3, len(container))
+        for _, r in grp.iterrows():
+            fr = decode_ppm(bytes(r.frame))
+            assert (fr == container[r.frame_idx]).all()
+            assert (r.height, r.width, 3) == fr.shape
+            assert r.ts_sec == r.frame_idx / 2.0
     # deterministic
-    again = frame_sample(media, fps=1.0, max_frames=4).toPandas()
+    again = frame_sample(media, fps=2.0, max_frames=3).toPandas()
     key = lambda df: sorted(zip(df.media_id, df.frame_idx, df.frame.map(bytes)))  # noqa: E731
     assert key(frames) == key(again)
 
 
 def test_multimodal_resize(spark):
-    """1:1 resize: image payload+meta rewritten consistently, other
-    modalities untouched, schema preserved."""
-    from sqoop_spark.pipeline.multimodal import resize_media, synthesize_media
+    """1:1 resize with the real codec: payload re-encoded as a PPM of the
+    target size whose pixels are the nearest-neighbor sample of the
+    original; meta stays consistent; other modalities untouched."""
+    from sqoop_spark.pipeline.multimodal import (
+        decode_ppm, resize_media, synthesize_media,
+    )
 
     media = synthesize_media(spark, 30)
-    out = resize_media(media, 224, 224)
+    out = resize_media(media, 10, 6)
     assert out.schema == media.schema
     pdf = out.toPandas().set_index("media_id")
     orig = media.toPandas().set_index("media_id")
     for mid in pdf.index:
         if pdf.loc[mid, "modality"] == "image":
-            assert pdf.loc[mid, "meta"]["width"] == 224
-            assert pdf.loc[mid, "meta"]["height"] == 224
-            assert bytes(pdf.loc[mid, "payload"]) != bytes(orig.loc[mid, "payload"])
-            assert len(pdf.loc[mid, "payload"]) == 32
+            assert pdf.loc[mid, "meta"]["width"] == 10
+            assert pdf.loc[mid, "meta"]["height"] == 6
+            got = decode_ppm(bytes(pdf.loc[mid, "payload"]))
+            src = decode_ppm(bytes(orig.loc[mid, "payload"]))
+            assert got.shape == (6, 10, 3)
+            h0, w0, _ = src.shape
+            rows = (np.arange(6) * h0) // 6
+            cols = (np.arange(10) * w0) // 10
+            assert (got == src[rows][:, cols]).all()
         else:
             assert bytes(pdf.loc[mid, "payload"]) == bytes(orig.loc[mid, "payload"])
             assert pdf.loc[mid, "meta"] == orig.loc[mid, "meta"]
