@@ -1,0 +1,341 @@
+"""Avro Object Container File writer/reader — pure Python, no jar.
+
+pyspark 4.1.2 ships without the spark-avro module and this environment has
+no avro/fastavro package, so ``--as-avrodatafile`` parity is implemented
+against the public Avro 1.11 specification directly:
+
+- container layout: magic ``Obj\\x01`` → file-metadata map
+  (``avro.schema`` JSON + ``avro.codec``) → 16-byte sync marker → data
+  blocks of (object count, byte size, serialized objects) each followed
+  by the sync marker;
+- binary encoding: zigzag-varint ints/longs, little-endian IEEE
+  float/double, length-prefixed bytes/strings, union index + value
+  (every Sqoop field is ``["null", T]``, AvroSchemaGenerator's nullable
+  columns), 0-terminated blocks for arrays;
+- codecs: ``null`` and ``deflate`` (raw zlib, spec-mandated -15 wbits).
+
+Value semantics come from ``sqoop_spark.avro`` (AvroUtil.toAvro parity:
+epoch-millis temporals, plain-string decimals, cleaned identifiers) —
+``write_avro_container`` applies ``avro_record_frame`` first, so the
+emitted files carry exactly what the reference's Avro import writes
+(avro/AvroUtil.java:83-204, mapreduce/AvroImportMapper.java).
+
+Scale: the writer runs executor-side via ``foreachPartition`` — one
+container file per partition (the reference's one-file-per-map-task
+layout), streamed in bounded blocks of ``objects_per_block`` rows; no
+driver materialization. The encoder is row-at-a-time *Python on the
+export path only* — the same boundary as the DB-API JDBC export
+(AsyncSqlRecordWriter analog), where the external format, not Spark,
+sets the throughput ceiling.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from sqoop_spark.errors import EngineError
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+
+_SPARK_TO_AVRO = {
+    T.BooleanType: "boolean",
+    T.ByteType: "int",
+    T.ShortType: "int",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+}
+
+
+# ---------------------------------------------------------------------------
+# binary encoding primitives (Avro spec §"Binary Encoding")
+# ---------------------------------------------------------------------------
+
+
+def write_long(out: io.BytesIO, n: int) -> None:
+    """Zigzag + base-128 varint (spec: int/long encoding). Python's
+    arbitrary-precision xor realizes zigzag directly: for negative n,
+    (n << 1) ^ (n >> 63) is the bitwise NOT of 2n — always non-negative."""
+    u = (n << 1) ^ (n >> 63)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.write(bytes((b | 0x80,)))
+        else:
+            out.write(bytes((b,)))
+            return
+
+
+def read_long(buf: io.BufferedIOBase) -> int:
+    shift, u = 0, 0
+    while True:
+        (b,) = buf.read(1)
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1)
+
+
+def write_bytes(out: io.BytesIO, b: bytes) -> None:
+    write_long(out, len(b))
+    out.write(b)
+
+
+def read_bytes(buf: io.BufferedIOBase) -> bytes:
+    return buf.read(read_long(buf))
+
+
+def _encoder_for(dtype: T.DataType):
+    """Value encoder for one Spark type (pre-converted by
+    avro_record_frame — temporals/decimals never reach here)."""
+    if isinstance(dtype, T.BooleanType):
+        return lambda out, v: out.write(b"\x01" if v else b"\x00")
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return write_long
+    if isinstance(dtype, T.FloatType):
+        return lambda out, v: out.write(struct.pack("<f", v))
+    if isinstance(dtype, T.DoubleType):
+        return lambda out, v: out.write(struct.pack("<d", v))
+    if isinstance(dtype, T.StringType):
+        return lambda out, v: write_bytes(out, v.encode("utf-8"))
+    if isinstance(dtype, T.BinaryType):
+        return lambda out, v: write_bytes(out, bytes(v))
+    raise EngineError(
+        f"avro container: unsupported Spark type {dtype.simpleString()} — "
+        "run avro_record_frame first (temporals→epoch millis, "
+        "decimals→strings per AvroUtil.toAvro)"
+    )
+
+
+def _decoder_for(avro_type: str):
+    if avro_type == "boolean":
+        return lambda buf: buf.read(1) == b"\x01"
+    if avro_type in ("int", "long"):
+        return read_long
+    if avro_type == "float":
+        return lambda buf: struct.unpack("<f", buf.read(4))[0]
+    if avro_type == "double":
+        return lambda buf: struct.unpack("<d", buf.read(8))[0]
+    if avro_type == "string":
+        return lambda buf: read_bytes(buf).decode("utf-8")
+    if avro_type == "bytes":
+        return read_bytes
+    raise EngineError(f"avro container: unsupported Avro type {avro_type!r}")
+
+
+# ---------------------------------------------------------------------------
+# schema generation (AvroSchemaGenerator parity: nullable unions)
+# ---------------------------------------------------------------------------
+
+
+def avro_schema_for(schema: T.StructType, name: str = "sqoop_import") -> dict:
+    """Spark schema (post avro_record_frame) → Avro record schema with
+    every field a ``["null", T]`` union — the reference's generated schema
+    shape (orm/AvroSchemaGenerator.java:58-114)."""
+    fields = []
+    for f in schema.fields:
+        at = _SPARK_TO_AVRO.get(type(f.dataType))
+        if at is None:
+            raise EngineError(
+                f"avro container: no Avro mapping for column {f.name!r} of "
+                f"type {f.dataType.simpleString()} — run avro_record_frame "
+                "first"
+            )
+        fields.append({"name": f.name, "type": ["null", at], "default": None})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+# ---------------------------------------------------------------------------
+# container writer / reader
+# ---------------------------------------------------------------------------
+
+
+def _write_container(
+    path: str,
+    rows: Iterator[Any],
+    schema: T.StructType,
+    avro_schema: dict,
+    codec: str,
+    sync: bytes,
+    objects_per_block: int,
+) -> int:
+    encoders = [_encoder_for(f.dataType) for f in schema.fields]
+    ncols = len(schema.fields)
+    n_rows = 0
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        meta = io.BytesIO()
+        write_long(meta, 2)
+        write_bytes(meta, b"avro.schema")
+        write_bytes(meta, json.dumps(avro_schema).encode())
+        write_bytes(meta, b"avro.codec")
+        write_bytes(meta, codec.encode())
+        write_long(meta, 0)
+        fh.write(meta.getvalue())
+        fh.write(sync)
+
+        block = io.BytesIO()
+        count = 0
+
+        def flush():
+            nonlocal count
+            if not count:
+                return
+            data = block.getvalue()
+            if codec == "deflate":
+                data = zlib.compress(data)[2:-4]  # raw deflate (spec: -15 wbits)
+            hdr = io.BytesIO()
+            write_long(hdr, count)
+            write_long(hdr, len(data))
+            fh.write(hdr.getvalue())
+            fh.write(data)
+            fh.write(sync)
+            block.seek(0)
+            block.truncate()
+            count = 0
+
+        for row in rows:
+            for i in range(ncols):
+                v = row[i]
+                if v is None:
+                    write_long(block, 0)  # union branch "null"
+                else:
+                    write_long(block, 1)  # union branch T
+                    encoders[i](block, v)
+            count += 1
+            n_rows += 1
+            if count >= objects_per_block:
+                flush()
+        flush()
+    return n_rows
+
+
+def write_avro_container(
+    df: DataFrame,
+    path: str,
+    codec: str = "null",
+    objects_per_block: int = 4096,
+    convert: bool = True,
+) -> None:
+    """Distributed ``--as-avrodatafile`` export: one Avro container file
+    per partition under ``path`` (part-NNNNN.avro + _SUCCESS, the
+    reference's map-task output layout).
+
+    ``convert=True`` applies ``avro_record_frame`` first (AvroUtil.toAvro
+    value semantics + identifier cleaning); the sync marker is derived
+    from the schema and partition id — deterministic output for identical
+    input."""
+    if codec not in ("null", "deflate"):
+        raise EngineError(f"avro container: unsupported codec {codec!r}")
+    if convert:
+        from sqoop_spark.avro import avro_record_frame
+
+        df = avro_record_frame(df)
+    schema = df.schema
+    avro_schema = avro_schema_for(schema)
+    os.makedirs(path, exist_ok=True)
+    schema_json = json.dumps(avro_schema)
+
+    def run(rows):
+        import hashlib
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        sync = hashlib.sha256(f"{schema_json}|{pid}".encode()).digest()[:SYNC_SIZE]
+        _write_container(
+            os.path.join(path, f"part-{pid:05d}.avro"),
+            rows,
+            schema,
+            avro_schema,
+            codec,
+            sync,
+            objects_per_block,
+        )
+
+    df.foreachPartition(run)
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+
+
+def read_avro_file(path: str) -> tuple[dict, list[tuple]]:
+    """Read one container file → (avro schema, rows as tuples). The
+    round-trip half used by tests and the import side of ``eval``-style
+    inspection; validates magic, metadata map, per-block sync markers."""
+    with open(path, "rb") as fh:
+        if fh.read(4) != MAGIC:
+            raise EngineError(f"{path}: not an Avro object container file")
+        meta: dict[str, bytes] = {}
+        while True:
+            n = read_long(fh)
+            if n == 0:
+                break
+            if n < 0:  # negative block count: size follows (spec)
+                read_long(fh)
+                n = -n
+            for _ in range(n):
+                k = read_bytes(fh).decode()
+                meta[k] = read_bytes(fh)
+        avro_schema = json.loads(meta["avro.schema"])
+        codec = meta.get("avro.codec", b"null").decode()
+        sync = fh.read(SYNC_SIZE)
+        decoders = []
+        for f in avro_schema["fields"]:
+            t = f["type"]
+            branches = t if isinstance(t, list) else [t]
+            nonnull = [b for b in branches if b != "null"][0]
+            decoders.append((branches, _decoder_for(nonnull)))
+        rows: list[tuple] = []
+        while True:
+            first = fh.read(1)
+            if not first:
+                break
+            fh.seek(-1, 1)
+            count = read_long(fh)
+            size = read_long(fh)
+            data = fh.read(size)
+            if codec == "deflate":
+                data = zlib.decompress(data, wbits=-15)
+            if fh.read(SYNC_SIZE) != sync:
+                raise EngineError(f"{path}: sync marker mismatch (corrupt block)")
+            buf = io.BytesIO(data)
+            for _ in range(count):
+                vals = []
+                for branches, dec in decoders:
+                    if len(branches) > 1:
+                        idx = read_long(buf)
+                        vals.append(None if branches[idx] == "null" else dec(buf))
+                    else:
+                        vals.append(dec(buf))
+                rows.append(tuple(vals))
+        return avro_schema, rows
+
+
+def read_avro_container(path: str) -> tuple[dict, list[tuple]]:
+    """Read every part file of a container directory (or a single file)."""
+    if os.path.isfile(path):
+        return read_avro_file(path)
+    schema = None
+    rows: list[tuple] = []
+    for entry in sorted(os.listdir(path)):
+        if entry.endswith(".avro"):
+            s, r = read_avro_file(os.path.join(path, entry))
+            schema = schema or s
+            rows.extend(r)
+    if schema is None:
+        raise EngineError(f"{path}: no .avro part files")
+    return schema, rows

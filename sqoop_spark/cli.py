@@ -333,6 +333,12 @@ def cmd_export(args) -> int:
         )
         print(json.dumps({"rows": src.count(), "target": args.target_table}))
         return 0
+    if args.format == "avro":
+        from sqoop_spark.sinks import write_avro
+
+        write_avro(src, args.target_table, compression=args.compress)
+        print(json.dumps({"rows": src.count(), "format": "avro"}))
+        return 0
     if args.format == "text":
         write_delimited(
             src,
@@ -504,9 +510,22 @@ def cmd_metastore(args) -> int:
 
 
 def cmd_eval(args) -> int:
-    """Ad-hoc SQL — tool/EvalSqlTool.java. With --connect the statement
-    runs against the database (as a JDBC subquery read, the read-only
-    subset of the reference's executeStatement)."""
+    """Ad-hoc SQL — tool/EvalSqlTool.java. With --connect a result-set
+    statement runs as a JDBC subquery read; a write statement (INSERT/
+    UPDATE/DELETE/DDL) executes through the DB-API path with the
+    reference's update-count report (EvalSqlTool.java:68-83:
+    'N row(s) updated.')."""
+    if getattr(args, "connect", None):
+        from sqoop_spark.sources.jdbc import (
+            dbapi_factory_for_url,
+            eval_statement,
+            is_result_set_statement,
+        )
+
+        if not is_result_set_statement(args.e):
+            count = eval_statement(dbapi_factory_for_url(args.connect), args.e)
+            print(f"{0 if count is None else count} row(s) updated.")
+            return 0
     spark = _session(args)
     if getattr(args, "connect", None):
         df = spark.read.jdbc(
@@ -671,7 +690,8 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--update-mode", default="allowinsert",
                      choices=["upsert", "updateonly", "allowinsert"])
     exp.add_argument("--order-column", default="event_seq")
-    exp.add_argument("--format", default="parquet", choices=["parquet", "text"])
+    exp.add_argument("--format", default="parquet",
+                     choices=["parquet", "text", "avro"])
     exp.add_argument("--field-delim", default=",")
     exp.add_argument("--enclosed-by")
     exp.add_argument("--escaped-by")

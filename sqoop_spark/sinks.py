@@ -153,14 +153,29 @@ def export_foreach(
 
 
 def write_avro(df: DataFrame, path: str, compression: str | None = None) -> None:
-    """Avro sink (mapreduce/AvroImportMapper.java) — optional dependency."""
+    """Avro sink (mapreduce/AvroImportMapper.java + AvroOutputFormat).
+
+    Prefers the spark-avro JVM writer when the jar is on the classpath;
+    otherwise falls back to the built-in pure-Python Object Container File
+    writer (sqoop_spark.avro_container — same AvroUtil.toAvro value
+    semantics, one part file per partition), so ``--as-avrodatafile``
+    works out of the box on a pip-installed pyspark."""
     try:
         writer = df.write.mode("overwrite").format("avro")
         if compression:
             writer = writer.option("compression", compression)
         writer.save(path)
-    except Exception as e:  # pragma: no cover - depends on spark-avro jar
+        return
+    except Exception:  # pragma: no cover - depends on spark-avro jar
+        pass
+    from sqoop_spark.avro_container import write_avro_container
+
+    codec = {None: "null", "deflate": "deflate", "uncompressed": "null"}.get(
+        compression, None
+    )
+    if codec is None:
         raise EngineError(
-            "avro sink requires the spark-avro module "
-            "(--packages org.apache.spark:spark-avro_2.13:<version>)"
-        ) from e
+            f"avro container codec {compression!r} unsupported without the "
+            "spark-avro jar (built-in writer: null/deflate)"
+        )
+    write_avro_container(df, path, codec=codec)

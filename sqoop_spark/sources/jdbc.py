@@ -403,6 +403,53 @@ def jdbc_export(
     df.foreachPartition(_run)
 
 
+#: Statement heads that yield a result set (the eval read path); anything
+#: else goes through execute-with-update-count (EvalSqlTool.java:68-83:
+#: stmt.execute() dispatching on resultType).
+_RESULT_SET_HEADS = ("select", "with", "show", "describe", "desc", "values", "explain")
+
+
+def is_result_set_statement(sql: str) -> bool:
+    head = sql.lstrip().split(None, 1)
+    return bool(head) and head[0].lower().rstrip("(") in _RESULT_SET_HEADS
+
+
+def dbapi_factory_for_url(url: str) -> Callable[[], Any]:
+    """Map a jdbc: URL to a zero-arg DB-API connection factory for vendors
+    with an in-process Python driver (sqlite — the suite's HSQLDB analog).
+    Other vendors supply their own factory (the ``jdbc_export`` contract:
+    any picklable zero-arg ``connect`` closure)."""
+    if url.startswith("jdbc:sqlite:"):
+        path = url[len("jdbc:sqlite:") :]
+
+        def _connect():
+            import sqlite3
+
+            return sqlite3.connect(path)
+
+        return _connect
+    raise EngineError(
+        f"no in-process DB-API driver for {url!r}; pass a connection "
+        "factory to sqoop_spark.sources.jdbc.eval_statement instead"
+    )
+
+
+def eval_statement(conn_factory: Callable[[], Any], sql: str) -> int | None:
+    """Execute one WRITE statement with an update-count report —
+    EvalSqlTool.run (tool/EvalSqlTool.java:55-95): execute, read the
+    update count, commit. Returns the count (None when the driver reports
+    none, mirroring the reference's updateCount == -1 terminator)."""
+    conn = conn_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(sql)
+        count = cur.rowcount
+        conn.commit()
+        return count if count is not None and count >= 0 else None
+    finally:
+        conn.close()
+
+
 def jdbc_export_spark(
     df,
     url: str,

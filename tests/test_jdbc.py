@@ -404,3 +404,44 @@ def test_plan_split_by_must_be_in_columns():
             URL, table="t", columns=["a", "b"], split_by="id",
             num_mappers=2, bounds=(0, 10),
         )
+
+
+# -- eval write statements (EvalSqlTool.executeStatement parity) ------------
+
+
+def test_eval_write_statements_sqlite(tmp_path, capsys):
+    """`eval -e <write sql>` executes through the DB-API path and reports
+    the reference's update count line (EvalSqlTool.java:68-83)."""
+    from sqoop_spark.cli import main as cli_main
+
+    db = str(tmp_path / "eval.db")
+    url = f"jdbc:sqlite:{db}"
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+        c.executemany("INSERT INTO t VALUES (?, ?)", [(i, f"v{i}") for i in range(5)])
+        c.commit()
+
+    assert cli_main(["eval", "--connect", url, "-e",
+                     "UPDATE t SET v = 'x' WHERE id < 3"]) == 0
+    assert "3 row(s) updated." in capsys.readouterr().out
+    assert cli_main(["eval", "--connect", url, "-e", "DELETE FROM t WHERE id = 4"]) == 0
+    assert "1 row(s) updated." in capsys.readouterr().out
+    with sqlite3.connect(db) as c:
+        rows = c.execute("SELECT id, v FROM t ORDER BY id").fetchall()
+    assert rows == [(0, "x"), (1, "x"), (2, "x"), (3, "v3")]
+
+
+def test_eval_statement_classifier_and_factory():
+    from sqoop_spark.sources.jdbc import (
+        dbapi_factory_for_url,
+        is_result_set_statement,
+    )
+
+    assert is_result_set_statement("  SELECT 1")
+    assert is_result_set_statement("WITH x AS (SELECT 1) SELECT * FROM x")
+    assert is_result_set_statement("explain select 1")
+    assert not is_result_set_statement("INSERT INTO t VALUES (1)")
+    assert not is_result_set_statement("CREATE TABLE t (a INT)")
+    assert not is_result_set_statement("")
+    with pytest.raises(EngineError, match="no in-process DB-API driver"):
+        dbapi_factory_for_url("jdbc:postgresql://db/x")
