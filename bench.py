@@ -129,6 +129,77 @@ def replay_run(
     return wall
 
 
+def skew_pair(spark, n_events: int, rounds: int = 2) -> dict:
+    """Hot-KEY skew evidence for the salting path (round-2 verdict item 7).
+
+    30% of the tail is rewritten onto ONE (repo, path) key, then the
+    newest-wins reduce runs three ways over the full-width rows (an
+    agg over `content` defeats column pruning — the replay ships full
+    rows through this shuffle):
+
+    - ``skew_hot_nolimit_unsalted``: Catalyst's InferWindowGroupLimit
+      disabled (``spark.sql.optimizer.windowGroupLimitThreshold=-1``) —
+      the naive plan every pre-3.5 engine runs, where the hot key's
+      events all sort in ONE window task (the straggler shape);
+    - ``skew_hot_nolimit_salted``: same disabled rule, salt_partitions=32
+      — the explicit (key, salt) pre-reduce spreads the hot key; this
+      delta is what salting buys where the optimizer can't help;
+    - ``skew_hot_default``: the engine's actual unsalted plan, where
+      WindowGroupLimit(Partial) below the Exchange already forwards ≤1
+      row per key per map task (pinned in PLANS.md) — Catalyst's own
+      mitigation, recorded to show the default needs no salt.
+
+    Same result all three ways (the `newest_wins_salted` oracle family);
+    interleaved best-of-``rounds`` because the shared host steals CPU on
+    minute scales.
+    """
+    import pyspark.sql.functions as F
+
+    from sqoop_spark.cdc.merge import newest_wins_reduce
+    from sqoop_spark.datagen import synthesize_change_events
+
+    ev = synthesize_change_events(spark, n_events, batch_size=n_events)
+    hot = F.abs(F.xxhash64(F.col("event_seq"), F.lit("sk"))) % 100 < 30
+    ev = (
+        ev.withColumn("repo", F.when(hot, F.lit("org0/hotrepo")).otherwise(F.col("repo")))
+        .withColumn("path", F.when(hot, F.lit("src/hot.py")).otherwise(F.col("path")))
+        .localCheckpoint(eager=True)  # stage once; time only the reduce
+    )
+    THRESH = "spark.sql.optimizer.windowGroupLimitThreshold"
+    variants = (
+        ("skew_hot_nolimit_unsalted", "-1", 0),
+        ("skew_hot_nolimit_salted", "-1", 32),
+        ("skew_hot_default", None, 0),
+    )
+    walls: dict[str, list[float]] = {tag: [] for tag, _, _ in variants}
+    rows = None
+    default_thresh = spark.conf.get(THRESH)
+    for _ in range(rounds):
+        for tag, thresh, salt in variants:
+            spark.conf.set(THRESH, thresh if thresh is not None else default_thresh)
+            t0 = time.time()
+            got = (
+                newest_wins_reduce(
+                    ev, ["repo", "path"], "event_seq", salt_partitions=salt
+                )
+                .filter(F.col("op") != "delete")
+                # sum over content defeats column pruning: full rows shuffle
+                .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("content")))
+                .collect()[0]["n"]
+            )
+            walls[tag].append(round(time.time() - t0, 3))
+            rows = rows if rows is not None else got
+            assert rows == got, "salt/limit variant changed the answer"
+    spark.conf.set(THRESH, default_thresh)
+    out = {tag: min(ws) for tag, ws in walls.items()}
+    out["walls"] = walls
+    out["rows"] = rows
+    out["salt_speedup_vs_naive"] = round(
+        out["skew_hot_nolimit_unsalted"] / out["skew_hot_nolimit_salted"], 2
+    )
+    return out
+
+
 def _compute_probe(spark) -> float:
     """Pure-JVM compute control: sha2 fold over spark.range.
 
@@ -223,6 +294,9 @@ def main() -> None:
         t0 = time.time()
         fn(spark, SF_DIR).count()
         results[name] = round(time.time() - t0, 3)
+    skew = skew_pair(spark, min(4_000_000, max(200_000, n_events // 4)))
+    for k in ("skew_hot_nolimit_unsalted", "skew_hot_nolimit_salted", "skew_hot_default"):
+        results[k] = skew[k]
     spark.stop()
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
@@ -237,6 +311,7 @@ def main() -> None:
                 "events": n_events,
                 "cpus_headline": CPUS,
                 "events_per_sec": round(n_events / headline_wall, 1),
+                "skew": skew,
                 "scaling": {
                     "cpus_lo": lo_cpus,
                     "cpus_hi": hi_cpus,

@@ -71,7 +71,10 @@ def main() -> None:
             "Newest-wins reduce",
             "Exactly one Exchange (hashpartitioning on the merge key) feeds "
             "the row_number window; the null-key guard is folded into the "
-            "same stage.",
+            "same stage. Skew: the partial WindowGroupLimit BELOW the "
+            "Exchange forwards at most one row per key per map task, so a "
+            "hot key cannot straggler the reduce even unsalted (bench "
+            "skew triplet quantifies this vs the rule-disabled plan).",
             formatted(red),
         )
     )

@@ -172,11 +172,18 @@ def newest_wins_reduce(
     (MergeMapperBase.java:70-84 throws on null key).
 
     With ``salt_partitions > 0`` a salted partial max-reduce runs first:
-    rows pre-aggregate on (key, salt) — shrinking hot keys' events by the
-    salt factor map-side-style — before the exact per-key window. For
-    batches with heavy per-key duplication this bounds the biggest shuffle
-    partition; for near-unique batches it's skipped (extra shuffle for
-    nothing).
+    rows pre-aggregate on (key, salt) — spreading a hot key's rows over
+    ``salt_partitions`` shuffle partitions — before the exact per-key
+    window. Skew notes (bench ``skew_hot_*`` triplet + BASELINE.md): on
+    Spark ≥3.5 the UNSALTED plan is already skew-resistant, because
+    Catalyst inserts ``WindowGroupLimit(... row_number, 1, Partial)``
+    below the Exchange (pinned in PLANS.md) — each map task forwards at
+    most one row per key, so the hot key reaches the reduce side ≤
+    num_map_partitions times. Salting is the explicit mitigation the
+    north rule requires and what rescues the straggler on engines/plans
+    where that rule cannot fire (disabled via
+    ``spark.sql.optimizer.windowGroupLimitThreshold=-1`` in the bench's
+    no-limit baseline, where salting wins ~4×).
     """
     null_pred = None
     for k in key_cols:

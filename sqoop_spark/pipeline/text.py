@@ -69,6 +69,116 @@ def token_count(
     return df.select(F.col(id_col), n.alias("n_tokens"))
 
 
+def train_bpe_merges(texts: list[str], n_merges: int = 200) -> list[tuple[str, str]]:
+    """Greedy BPE merge-table training (Sennrich et al. 2016, the public
+    algorithm): start from characters, repeatedly merge the most frequent
+    adjacent symbol pair. Driver-side and tiny by design — training is a
+    one-off offline step; the *engine* artifact is the merge table that
+    ``bpe_encode`` broadcasts. Ties break lexicographically for bitwise
+    determinism across runs/hosts."""
+    import regex as _re
+
+    pat = _re.compile(BPE_REGEX)
+    word_freq: dict[tuple[str, ...], int] = {}
+    for t in texts:
+        for w in pat.findall(t):
+            k = tuple(w)
+            word_freq[k] = word_freq.get(k, 0) + 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, f in word_freq.items():
+            for a, b in zip(w, w[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        (a, b), best_n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best_n < 2:
+            break
+        merges.append((a, b))
+        merged = a + b
+        new_freq: dict[tuple[str, ...], int] = {}
+        for w, f in word_freq.items():
+            out, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            k = tuple(out)
+            new_freq[k] = new_freq.get(k, 0) + f
+        word_freq = new_freq
+    return merges
+
+
+def _bpe_apply(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one pre-token: repeatedly merge the lowest-rank adjacent
+    pair (the standard rank-priority BPE apply loop)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Merge-table-driven BPE tokenization — the TRUE token unit an LLM
+    pipeline budgets by (``token_count(tokenizer='bpe_regex')`` counts only
+    pre-tokens). Returns (id, tokens array<string>, n_tokens).
+
+    Spark shape: the merge table broadcasts once (ranks dict, exactly like
+    a production tokenizer vocab); encoding runs as an Arrow-batched
+    pandas UDF with a per-executor memo of already-encoded pre-tokens —
+    Zipf's law makes the cache hit rate extreme, so per-batch work is
+    ~unique-token encodes + dict lookups, not per-occurrence merge loops.
+    No shuffle: this is a scan projection, the only shape that matters
+    over 10^12 documents."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    ranks_bc = spark.sparkContext.broadcast(
+        {pair: i for i, pair in enumerate(merges)}
+    )
+
+    def _encode(texts):
+        import regex as _re
+
+        pat = _re.compile(BPE_REGEX)
+        ranks = ranks_bc.value
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in pat.findall(t or ""):
+                enc = memo.get(w)
+                if enc is None:
+                    enc = _bpe_apply(w, ranks)
+                    memo[w] = enc
+                toks.extend(enc)
+            out.append(toks)
+        return pd.Series(out)
+
+    udf = pandas_udf(_encode, "array<string>")
+    return df.select(
+        F.col(id_col),
+        udf(F.col(text_col)).alias("tokens"),
+    ).withColumn("n_tokens", F.size("tokens"))
+
+
 def quality_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

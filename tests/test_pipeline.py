@@ -692,3 +692,83 @@ def test_embedding_dedup_sizing_warning(spark, caplog):
             emb, threshold=0.9, n_planes=4, expected_rows=1000, pair_budget=1e12
         )
     assert not caplog.records
+
+
+def test_bpe_train_merges_sennrich_example():
+    """The published BPE walkthrough (Sennrich et al. 2016 §3.2): on the
+    low/lower/newest/widest corpus the first merges are the est/lo pairs."""
+    from sqoop_spark.pipeline.text import train_bpe_merges
+
+    corpus = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    merges = train_bpe_merges([" ".join(corpus)], n_merges=4)
+    # pre-tokenizer attaches the leading space, so words appear both bare
+    # (first occurrence) and space-prefixed; 'es' (freq 9) merges first,
+    # then 'est' (9)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+
+
+def test_bpe_encode_matches_reference_twin(spark):
+    """bpe_encode (broadcast ranks + memoized pandas UDF) must reproduce a
+    straightforward independent apply-merges-in-order implementation on
+    fixed strings, token for token."""
+    import regex as re2
+
+    from sqoop_spark.pipeline.text import BPE_REGEX, bpe_encode, train_bpe_merges
+
+    texts = [
+        "the lowest low is lower than the newest newt",
+        "widest wide width, and the west was won",
+        "low low low lower lowest",
+        "",
+    ]
+    merges = train_bpe_merges(texts, n_merges=50)
+    assert len(merges) > 5
+
+    def twin(text):
+        # independent semantics: apply each merge rule exhaustively in
+        # table order (equivalent to rank-priority for a table produced by
+        # greedy training on this corpus)
+        toks = []
+        for w in re2.findall(BPE_REGEX, text):
+            syms = list(w)
+            for a, b in merges:
+                i = 0
+                while i < len(syms) - 1:
+                    if syms[i] == a and syms[i + 1] == b:
+                        syms[i : i + 2] = [a + b]
+                    else:
+                        i += 1
+            toks.extend(syms)
+        return toks
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: list(r.tokens) for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == twin(t), (i, got[i], twin(t))
+    # count column consistent and reconstruction lossless
+    out = bpe_encode(df, merges).collect()
+    for r in out:
+        assert r.n_tokens == len(r.tokens)
+    assert "".join(got[0]) == texts[0]
+
+
+def test_bpe_encode_on_documents(spark, docs):
+    """End-to-end on the corpus: trained merges compress the pre-token
+    stream (fewer symbols than characters, more than pre-tokens)."""
+    from sqoop_spark.pipeline.text import bpe_encode, token_count, train_bpe_merges
+
+    sample = [r.text for r in docs.limit(50).collect()]
+    merges = train_bpe_merges(sample, n_merges=100)
+    sub = docs.filter(F.col("doc_id") < 50)
+    enc = bpe_encode(sub, merges).toPandas().set_index("doc_id")
+    pre = token_count(sub, tokenizer="bpe_regex").toPandas().set_index("doc_id")
+    chars = sub.select("doc_id", F.length("text").alias("n")).toPandas().set_index("doc_id")
+    assert (enc.n_tokens >= pre.n_tokens).all()
+    assert (enc.n_tokens <= chars.n).all()
+    # lossless: concatenating tokens rebuilds the document
+    txts = {r.doc_id: r.text for r in sub.collect()}
+    for did, row in enc.iterrows():
+        assert "".join(row.tokens) == txts[did]

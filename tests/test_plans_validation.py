@@ -81,6 +81,21 @@ def test_newest_wins_single_shuffle(spark, staged):
     assert "WindowExec" in plan or "Window" in plan
 
 
+def test_newest_wins_partial_window_group_limit(spark, staged):
+    """Skew resistance of the UNSALTED reduce: Catalyst must insert a
+    partial WindowGroupLimit below the Exchange (row_number <= 1 pushed
+    map-side), so a hot key forwards at most one row per map task — the
+    optimizer-native analog of salting (bench skew triplet; Spark ≥3.5
+    InferWindowGroupLimit)."""
+    ev = spark.read.parquet(staged)
+    plan = _plan(newest_wins_reduce(ev, ["repo", "path"], "event_seq"))
+    assert "WindowGroupLimit" in plan, plan
+    # Partial (map-side) instance present, not just the final one
+    assert "Partial" in plan.split("Exchange hashpartitioning")[-1] or (
+        plan.count("WindowGroupLimit") >= 2
+    ), plan
+
+
 def test_merge_frames_join_strategies(spark, staged):
     ev = spark.read.parquet(staged)
     old = ev.filter(F.col("event_seq") < 2500).select(
