@@ -316,8 +316,32 @@ def cmd_export(args) -> int:
     )
     if getattr(args, "connect", None):
         from sqoop_spark.errors import EngineError
-        from sqoop_spark.sources.jdbc import jdbc_export_spark
+        from sqoop_spark.sources.jdbc import (
+            dbapi_factory_for_url,
+            jdbc_export,
+            jdbc_export_spark,
+        )
 
+        try:
+            factory = dbapi_factory_for_url(args.connect)
+        except EngineError:
+            factory = None
+        if factory is not None:
+            # Embedded database (jdbc:sqlite:) — batched DB-API executor;
+            # update/upsert modes work here (sqlite dialect), unlike
+            # Spark's INSERT-only writer.
+            jdbc_export(
+                src,
+                factory,
+                args.target_table,
+                mode="updateonly" if args.update_mode == "updateonly" and args.update_key
+                else ("allowinsert" if args.update_key else "insert"),
+                update_key=args.update_key,
+                dialect="sqlite",
+                records_per_statement=args.records_per_statement,
+            )
+            print(json.dumps({"rows": src.count(), "target": args.target_table}))
+            return 0
         if args.update_key:
             raise EngineError(
                 "JDBC update/upsert export needs a vendor DB-API connection "
@@ -544,6 +568,29 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def _dbapi_list_tables(url: str) -> list[str] | None:
+    """Catalog listing through the in-process DB-API driver for embedded
+    databases (manager.listTables analog); None → not an embedded URL,
+    caller falls through to Spark's JDBC reader."""
+    from sqoop_spark.errors import EngineError
+    from sqoop_spark.sources.jdbc import dbapi_factory_for_url
+
+    try:
+        factory = dbapi_factory_for_url(url)
+    except EngineError:
+        return None
+    conn = factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(
+            "SELECT name FROM sqlite_master WHERE type = 'table' "
+            "AND name NOT LIKE 'sqlite_%' ORDER BY name"
+        )
+        return [r[0] for r in cur.fetchall()]
+    finally:
+        conn.close()
+
+
 def _tables_under(path: str) -> list[str]:
     out = []
     for entry in sorted(os.listdir(path)):
@@ -557,10 +604,15 @@ def _tables_under(path: str) -> list[str]:
 
 def cmd_list_tables(args) -> int:
     """ListTablesTool: tables under a lake path, or the JDBC catalog's
-    (information_schema.tables) with --connect."""
+    (information_schema.tables) with --connect; embedded databases
+    (jdbc:sqlite:) are listed through the in-process DB-API driver."""
     if not getattr(args, "connect", None) and not args.path:
         raise SystemExit("list-tables: one of --path or --connect is required")
     if getattr(args, "connect", None):
+        tables = _dbapi_list_tables(args.connect)
+        if tables is not None:
+            print("\n".join(tables))
+            return 0
         spark = _session(args)
         df = spark.read.jdbc(
             args.connect,
@@ -601,11 +653,32 @@ def cmd_list_databases(args) -> int:
 
 
 def cmd_import_all_tables(args) -> int:
-    """Iterate listTables() minus --exclude-tables (ImportAllTablesTool)."""
+    """Iterate listTables() minus --exclude-tables (ImportAllTablesTool).
+    With --connect over an embedded database, tables come from the DB-API
+    catalog and each imports through the partitioned DB-API reader."""
     spark = _session(args)
     exclude = set((args.exclude_tables or "").split(","))
     done = {}
     from sqoop_spark.lake import LakeTable
+
+    if getattr(args, "connect", None):
+        from sqoop_spark.sources.jdbc import (
+            build_import_plan,
+            dbapi_factory_for_url,
+            jdbc_import,
+        )
+
+        dbapi_factory_for_url(args.connect)  # validate early: embedded only
+        for name in _dbapi_list_tables(args.connect) or []:
+            if name in exclude:
+                continue
+            df = jdbc_import(
+                spark, build_import_plan(args.connect, table=name, num_mappers=1)
+            )
+            df.write.mode("overwrite").parquet(os.path.join(args.warehouse_dir, name))
+            done[name] = df.count()
+        print(json.dumps(done))
+        return 0
 
     for name in _tables_under(args.path):
         if name in exclude:

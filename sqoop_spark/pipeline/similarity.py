@@ -148,31 +148,81 @@ def _plane_component(j, p: int, seed: int, hash_fn: str):
     return (h.cast("double") / F.lit(1_000_000.0)) - F.lit(1.0)
 
 
-def _signature(vec, dim: int, n_planes: int, seed: int, hash_fn: str = "xxhash64"):
+def _plane_components_py(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """The sha256-mode hyperplane components, computed driver-side with
+    hashlib — bit-identical to the Spark expression
+    ``conv(substring(sha2('<seed>|<p>|<j>', 256), 1, 15), 16, 10) % 2000000
+    / 1e6 - 1`` (both are an exact IEEE parse of the same integer; pinned by
+    ``test_signature_sql_matches_column_expr``), so the DuckDB oracle keeps
+    recomputing the very same planes while the Spark plan carries only
+    literal doubles."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.sha256(f"{seed}|{p}|{j}".encode()).hexdigest()[:15], 16)
+            % 2_000_000
+            / 1_000_000.0
+            - 1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _signature_sql(
+    vec_sql: str, dim: int, n_planes: int, seed: int, hash_fn: str = "xxhash64"
+) -> str:
+    """The signature as ONE SQL string. Building it as nested Column ops
+    costs dim × n_planes × ~8 py4j round-trips PER SIDE (~7 s of driver
+    wall for dim=64, measured) — string assembly is pure Python and the
+    JVM parses it once. sha256 components are hashlib-precomputed literals
+    (exact parity, see ``_plane_components_py``); xxhash64 components stay
+    as expression text over literal indices, which Catalyst constant-folds
+    to one literal array at plan time exactly as before (pinned by
+    ``test_signature_planes_constant_folded``)."""
+    if hash_fn == "sha256":
+        comp_arrays = [
+            "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in comps) + ")"
+            for comps in _plane_components_py(dim, n_planes, seed)
+        ]
+    elif hash_fn == "xxhash64":
+        comp_arrays = [
+            "array("
+            + ", ".join(
+                f"(CAST(pmod(xxhash64({seed}, {p}, {j}), 2000000) AS DOUBLE)"
+                f" / CAST('1000000.0' AS DOUBLE) - CAST('1.0' AS DOUBLE))"
+                for j in range(dim)
+            )
+            + ")"
+            for p in range(n_planes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'xxhash64' or 'sha256'")
+    terms = []
+    for p, arr in enumerate(comp_arrays):
+        dot = (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, c) -> CAST(x AS DOUBLE) * c), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {2 ** p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _signature(
+    vec_col: str, dim: int, n_planes: int, seed: int, hash_fn: str = "xxhash64"
+):
     """Sign-bit signature under deterministic pseudo-random hyperplanes.
 
     Plane p's component j is derived from (seed, p, j) — the planes are
     regenerated wherever needed, nothing to broadcast, which matters when
-    the plan is shipped to 1000 executors. Each plane's component array is
-    built from literal indices, so Catalyst's ConstantFolding collapses the
-    dim hash computations to ONE literal array at plan time — per row the
-    executors do only the multiply-add fold, not dim × n_planes hashes.
+    the plan is shipped to 1000 executors. Per row the executors do only
+    the multiply-add fold over a literal component array, never
+    dim × n_planes hashes. ``vec_col`` is the column NAME: the whole
+    expression is assembled as SQL text (see ``_signature_sql``) so the
+    driver pays one py4j call instead of thousands.
     """
-    bits = []
-    for p in range(n_planes):
-        comps = F.array(
-            *[_plane_component(F.lit(j), p, seed, hash_fn) for j in range(dim)]
-        )
-        comp = F.aggregate(
-            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(comp >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
+    return F.expr(_signature_sql(f"`{vec_col}`", dim, n_planes, seed, hash_fn))
 
 
 def lsh_cosine_topk(
@@ -205,7 +255,7 @@ def lsh_cosine_topk(
     sig = lambda df, idname: df.select(  # noqa: E731
         F.col(id_col).alias(idname),
         F.col(vec_col).alias(f"_{idname}_v"),
-        _signature(F.col(vec_col), dim, n_planes, seed, hash_fn).alias(
+        _signature(vec_col, dim, n_planes, seed, hash_fn).alias(
             f"_{idname}_sig"
         ),
     )
@@ -523,7 +573,7 @@ def embedding_dedup_pairs(
     sig = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        _signature(F.col(vec_col), dim, n_planes, seed, hash_fn).alias("_sig"),
+        _signature(vec_col, dim, n_planes, seed, hash_fn).alias("_sig"),
     )
     a = sig.alias("a")
     b = sig.alias("b")

@@ -187,7 +187,22 @@ def build_import_plan(
 
 
 def probe_bounds(spark, url: str, bounds_sql: str, properties: dict | None = None):
-    """Run the bounding query over JDBC (one row, two columns)."""
+    """Run the bounding query (one row, two columns) — Spark's JVM JDBC
+    reader for real vendor URLs, the in-process DB-API path for URLs that
+    have no jar here (jdbc:sqlite:, the suite's HSQLDB analog)."""
+    try:
+        factory = dbapi_factory_for_url(url)
+    except EngineError:
+        factory = None
+    if factory is not None:
+        conn = factory()
+        try:
+            cur = conn.cursor()
+            cur.execute(bounds_sql)
+            row = cur.fetchone()
+            return row[0], row[1]
+        finally:
+            conn.close()
     row = (
         spark.read.jdbc(url, f"({bounds_sql}) AS SQOOP_BOUNDS", properties=properties or {})
         .collect()[0]
@@ -196,12 +211,114 @@ def probe_bounds(spark, url: str, bounds_sql: str, properties: dict | None = Non
 
 
 def jdbc_import(spark, plan: JdbcImportPlan):
-    """Execute the plan: one connection per predicate, scanned in parallel."""
+    """Execute the plan: one connection per predicate, scanned in parallel.
+
+    Vendor URLs go through Spark's JVM JDBC relation (predicate list =
+    split plan). URLs with an in-process DB-API driver but no JVM jar
+    (jdbc:sqlite:) go through ``dbapi_import`` — same one-connection-per-
+    split contract, fetched executor-side — so the CLI import runs
+    end-to-end against the embedded database the way the reference's own
+    suites run against in-process HSQLDB."""
+    try:
+        factory = dbapi_factory_for_url(plan.url)
+    except EngineError:
+        factory = None
+    if factory is not None:
+        return dbapi_import(spark, factory, plan)
     if plan.predicates is None:
         return spark.read.jdbc(plan.url, plan.dbtable, properties=plan.properties)
     return spark.read.jdbc(
         plan.url, plan.dbtable, predicates=list(plan.predicates), properties=plan.properties
     )
+
+
+def _infer_schema_from_rows(names: Sequence[str], rows: Sequence[Sequence]) -> "T.StructType":
+    """Spark schema from a driver-side sample: per column, the first
+    non-NULL Python value decides the type (all-NULL → string). Mirrors
+    the reference's 1=0 probe + ResultSetMetaData mapping
+    (manager/SqlManager.java:106-114 + ConnManager.toJavaType) for
+    DB-API drivers whose type_code metadata is vendor-noise."""
+    import datetime as _dt
+    import decimal as _dec
+
+    from pyspark.sql import types as T
+
+    def spark_type(v):
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            return T.BinaryType()
+        if isinstance(v, _dt.datetime):
+            return T.TimestampType()
+        if isinstance(v, _dt.date):
+            return T.DateType()
+        if isinstance(v, _dec.Decimal):
+            return T.DecimalType(38, 18)
+        return T.StringType()
+
+    fields = []
+    for i, name in enumerate(names):
+        sample = next((r[i] for r in rows if r[i] is not None), None)
+        fields.append(T.StructField(name, spark_type(sample), True))
+    return T.StructType(fields)
+
+
+def dbapi_import(
+    spark,
+    conn_factory: Callable[[], Any],
+    plan: JdbcImportPlan,
+    schema=None,
+    fetch_size: int = 1000,
+    infer_rows: int = 100,
+):
+    """Partitioned import over a DB-API connection factory.
+
+    One executor task per split predicate, each opening its own
+    connection and streaming ``fetchmany(fetch_size)`` batches — the
+    reference's one-JDBC-connection-per-map-task model
+    (mapreduce/db/DBRecordReader.java) without the JVM driver jar. The
+    deliberate RDD use: per-partition imperative DB-API calls are the one
+    shape the DataFrame reader cannot express without a jar; everything
+    downstream is a DataFrame again. Schema comes from ``schema`` or a
+    bounded driver-side probe (``LIMIT infer_rows``).
+    """
+    from pyspark.sql import functions as F  # noqa: F401  (docstring parity)
+
+    preds = list(plan.predicates) if plan.predicates else ["1 = 1"]
+    base_sql = f"SELECT * FROM {plan.dbtable}"
+
+    if schema is None:
+        conn = conn_factory()
+        try:
+            cur = conn.cursor()
+            cur.execute(f"{base_sql} LIMIT {int(infer_rows)}")
+            names = [d[0] for d in cur.description]
+            sample = cur.fetchall()
+        finally:
+            conn.close()
+        schema = _infer_schema_from_rows(names, sample)
+
+    def fetch(idx_iter):
+        for i in idx_iter:
+            conn = conn_factory()
+            try:
+                cur = conn.cursor()
+                cur.execute(f"{base_sql} WHERE {preds[i]}")
+                while True:
+                    batch = cur.fetchmany(fetch_size)
+                    if not batch:
+                        break
+                    for row in batch:
+                        yield tuple(row)
+            finally:
+                conn.close()
+
+    rdd = spark.sparkContext.parallelize(range(len(preds)), len(preds)).mapPartitions(fetch)
+    return spark.createDataFrame(rdd, schema=schema)
 
 
 # ---------------------------------------------------------------------------

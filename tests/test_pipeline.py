@@ -580,6 +580,41 @@ def test_signature_planes_constant_folded(spark):
         assert fn_name not in plan, f"{hash_fn} components not folded"
 
 
+def test_signature_sql_matches_column_expr(spark):
+    """The SQL-text signature (one py4j call; sha256 components precomputed
+    with hashlib) must be BIT-IDENTICAL to the original Column-built
+    expression for both hash modes — the sha256 mode is what keeps the
+    DuckDB value-hash oracles green, so exact (not approximate) equality."""
+    from sqoop_spark.pipeline.similarity import _plane_component, _signature
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(50)
+    for hash_fn in ("sha256", "xxhash64"):
+        # the pre-round-3 construction, rebuilt inline from _plane_component
+        bits = []
+        for p in range(4):
+            comps = F.array(
+                *[_plane_component(F.lit(j), p, 42, hash_fn) for j in range(64)]
+            )
+            comp = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), comps, lambda x, c: x.cast("double") * c
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(
+                F.when(comp >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+            )
+        old = bits[0]
+        for b in bits[1:]:
+            old = old + b
+        rows = emb.select(
+            _signature("embedding", 64, 4, 42, hash_fn).alias("new"),
+            old.alias("old"),
+        ).collect()
+        assert rows and all(r.new == r.old for r in rows), hash_fn
+
+
 def test_ivf_pandas_assignment_matches_expr(spark):
     """The Arrow/BLAS assignment path (one matmul per batch, no crossjoin)
     must produce the same inverted lists — and therefore the same top-k —
