@@ -552,6 +552,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (distributed min-label
+    propagation): the transitive-closure step that turns every pair-wise
+    dedup family into keep/drop decisions. Clusters over the same
+    embedding-cosine pair graph as ``dedup_embedding``; oracled by a
+    DuckDB recursive CTE computing min-reachable-id per node."""
+    from sqoop_spark.pipeline import connected_components, embedding_dedup_pairs
+
+    emb = _embs(spark, sf_dir)
+    pairs = embedding_dedup_pairs(emb, threshold=0.2, hash_fn="sha256")
+    return connected_components(pairs)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → mapInPandas feature extraction with the REAL
     pure-numpy codecs (PPM images / RIFF-WAVE PCM audio / VID0 frame
@@ -634,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
     }
@@ -894,6 +908,29 @@ FROM s WHERE cosine >= {threshold}
 """
 
 
+def _dedup_clusters_sql(threshold: float = 0.2) -> str:
+    """DuckDB twin of connected_components(embedding_dedup_pairs(...)):
+    a recursive CTE enumerates every (node, reachable-node) pair over the
+    symmetrized pair graph; min(reachable) per node IS the component label
+    the Spark side converges to by min-label propagation."""
+    pairs = _embedding_dedup_sql(threshold=threshold)
+    return f"""
+WITH RECURSIVE p2 AS ({pairs}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p2
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM p2
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+r(id, m) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.id, e.b FROM r JOIN edges e ON r.m = e.a
+)
+SELECT id, min(m) AS cluster_id FROM r GROUP BY id
+"""
+
+
 def _multimodal_sql(n: int = 500) -> str:
     """DuckDB twin of extract_features(synthesize_media(n), decode='numpy'):
     payload bytes are closed-form in media_id (see multimodal module
@@ -1138,6 +1175,7 @@ SELECT op, count(*) AS n_rows FROM ce GROUP BY op
         "ann_lsh_topk": _ann_lsh_sql(n_planes=4, seed=42, k=3),
         "ann_ivf_topk": _ann_ivf_sql(n_centroids=8, n_probes=2, seed=42, k=3),
         "dedup_embedding": _embedding_dedup_sql(threshold=0.2),
+        "dedup_clusters": _dedup_clusters_sql(threshold=0.2),
         "simhash": _simhash_sql(bits=32),
         "dedup_exact": """
 SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id,

@@ -1,4 +1,5 @@
 from sqoop_spark.pipeline.dedup import (  # noqa: F401
+    connected_components,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,

@@ -313,3 +313,72 @@ def simhash(
             )
         )
     return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Near-dup pairs → clusters: connected components as (id, cluster_id),
+    where ``cluster_id`` is the minimum member id of the component. The
+    canonical last step of every dedup family here (Jaccard / MinHash-LSH /
+    SimHash / embedding-cosine all emit pair sets): keep ``id ==
+    cluster_id``, drop the rest, and transitive duplicates (A~B, B~C, A!~C)
+    collapse to ONE survivor instead of the pair-wise two.
+
+    Distributed min-label propagation with pointer jumping: every node
+    starts labelled with its own id; each round joins labels across the
+    symmetrized edge set PLUS the current (label ↔ id) links and keeps the
+    per-node minimum. A node's label is always an id inside its own
+    component, so the label links are intra-component edges — adding them
+    never merges components, but it lets a chain's minimum travel 2^round
+    hops instead of 1 (the hash-to-min idea of Rastogi et al., "Finding
+    Connected Components in MapReduce"; large-star/small-star is the same
+    O(log N)-round family). Each round is one shuffle join (edges ×
+    labels, both hash-partitioned on the join key) plus one
+    map-side-combined min groupBy over N label rows — label frames are
+    (id, long) pairs, never the corpus. The pair plan is materialized ONCE
+    (``localCheckpoint``) before the loop — LSH/verify work is never
+    re-executed per round — and each round checkpoints the (old, new)
+    label join, so convergence is read off the materialized frame without
+    a second job and lineage stays O(1) deep.
+
+    Only ids appearing in ≥1 pair are returned — singleton documents are
+    their own cluster by definition and never shuffle.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
+        .union(pairs.select(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("_src").alias("_id"))
+        .distinct()
+        .select("_id", F.col("_id").alias("_label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        label_edges = labels.select(
+            F.col("_label").alias("_src"), F.col("_id").alias("_dst")
+        ).union(
+            labels.select(F.col("_id").alias("_src"), F.col("_label").alias("_dst"))
+        )
+        propagated = (
+            edges.union(label_edges)
+            .join(labels.withColumnRenamed("_id", "_src"), "_src")
+            .select(F.col("_dst").alias("_id"), F.col("_label"))
+        )
+        cmp = (
+            labels.union(propagated)
+            .groupBy("_id")
+            .agg(F.min("_label").alias("_label"))
+            .join(labels.withColumnRenamed("_label", "_old"), "_id")
+            .localCheckpoint()
+        )
+        changed = cmp.filter(F.col("_label") < F.col("_old")).limit(1).count()
+        labels = cmp.select("_id", "_label")
+        if changed == 0:
+            break
+    return labels.select(F.col("_id").alias("id"), F.col("_label").alias("cluster_id"))

@@ -807,3 +807,45 @@ def test_bpe_encode_on_documents(spark, docs):
     txts = {r.doc_id: r.text for r in sub.collect()}
     for did, row in enc.iterrows():
         assert "".join(row.tokens) == txts[did]
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C with no direct A~C pair must collapse into ONE cluster
+    labelled by the minimum id; disjoint components keep separate labels;
+    a diameter-3 chain converges (needs >1 propagation round)."""
+    from sqoop_spark.pipeline import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_matches_embedding_oracle(spark):
+    """Cluster labels over the real embedding near-dup pair graph equal a
+    driver-style python reference (union-find closure over the same pairs)."""
+    from sqoop_spark.pipeline import connected_components, embedding_dedup_pairs
+
+    embs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pairs = embedding_dedup_pairs(embs, threshold=0.2, hash_fn="sha256")
+    pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    # python reference: union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == want
