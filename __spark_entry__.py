@@ -600,6 +600,91 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adaptive_batch_size(spark: SparkSession, sf_dir: str) -> int:
+    """~5 micro-batches at any SF (min 2000 events/batch) — keeps the
+    snapshot fixtures multi-batch at sf0.01 without exploding the commit
+    count at sf0.1. The oracle computes the identical integer via
+    ``greatest(2000, floor((count(*) + 4) / 5))``."""
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    return max(2000, (n + 4) // 5)
+
+
+#: The DuckDB twin of _adaptive_batch_size, usable as the batch_size
+#: divisor inside the change-event CTE (uncorrelated scalar subquery).
+_ADAPTIVE_BS_SQL = (
+    "(SELECT greatest(2000, CAST(floor((count(*) + 4) / 5) AS BIGINT)) "
+    "FROM events)"
+)
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (Iceberg ``VERSION AS OF``): a CoW replay
+    commits exactly one immutable snapshot per micro-batch, so
+    ``read(version=1 + j)`` reconstructs the table as of the j-th batch —
+    no log replay, just the old manifest. Oracled by newest-wins over the
+    event prefix ``batch_id <= floor(max_batch / 2)``."""
+    events = _events(spark, sf_dir, batch_size=_adaptive_batch_size(spark, sf_dir))
+    bids = sorted(r[0] for r in events.select("batch_id").distinct().collect())
+    mid = bids[-1] // 2
+    j = sum(1 for b in bids if b <= mid)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_tt_")
+    engine = CdcEngine.create_table(spark, f"{tmp}/repos", num_buckets=16)
+    engine.replay(events)
+    return _materialize_and_clean(engine.table.read(version=1 + j), tmp)
+
+
+def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot lineage audit: after a CoW replay every merge manifest's
+    file-row total IS the live row count as of that commit (merge rewrites
+    touched buckets to post-merge state; carried files were already live).
+    Re-labeled by batch rank so DuckDB can recompute the same counts from
+    per-prefix newest-wins over the raw events."""
+    events = _events(spark, sf_dir, batch_size=_adaptive_batch_size(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_hist_")
+    engine = CdcEngine.create_table(spark, f"{tmp}/repos", num_buckets=16)
+    engine.replay(events)
+    snaps = [s for s in engine.table.snapshots() if s.operation == "merge"]
+    rows = [(i + 1, s.total_rows) for i, s in enumerate(snaps)]
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "batch_rank INT, live_rows BIGINT")
+
+
+def q_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → exactly-once ingest: every 7th event is redelivered
+    after the whole original stream (reconnect replay); first_arrival_dedup
+    keeps the FIRST arrival per event id, so the survivors are exactly the
+    originals with their original arrival positions."""
+    from sqoop_spark.cdc.merge import first_arrival_dedup
+
+    ce = _events(spark, sf_dir)
+    m = ce.agg(F.max("event_seq")).collect()[0][0]
+    redelivered = ce.filter(F.col("event_seq") % 7 == 0).withColumn(
+        "ingest_seq", F.col("event_seq") + F.lit(m)
+    )
+    arrivals = ce.withColumn("ingest_seq", F.col("event_seq")).unionByName(
+        redelivered
+    )
+    out = first_arrival_dedup(arrivals, ["event_seq"], "ingest_seq")
+    return out.select(*TABLE_COLS.split(", "), "ingest_seq")
+
+
+def q_incremental_read_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map incremental consumer: an append-mode table (the blind
+    ``--incremental append`` sink) commits per-batch files whose event_seq
+    zone maps are tight, so ``read_since(watermark)`` opens only the files
+    written since the watermark — O(new data), not O(table). File-skip
+    counts are pinned in tests/test_lake.py."""
+    events = _events(spark, sf_dir, batch_size=_adaptive_batch_size(spark, sf_dir))
+    m = events.agg(F.max("event_seq")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_zm_")
+    engine = CdcEngine.create_table(
+        spark, f"{tmp}/repos", num_buckets=16, merge_mode=None
+    )
+    engine.replay(events)
+    df = engine.table.read_since("event_seq", m // 2).select(*TABLE_COLS.split(", "))
+    return _materialize_and_clean(df, tmp)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -650,6 +735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
+        "time_travel": q_time_travel,
+        "snapshot_history": q_snapshot_history,
+        "dedup_first_arrival": q_dedup_first_arrival,
+        "incremental_read_pruned": q_incremental_read_pruned,
     }
 
 
@@ -1168,6 +1257,42 @@ FROM ce GROUP BY repo HAVING count(*) > 100
         "op_counts": f"""
 WITH ce AS ({ce})
 SELECT op, count(*) AS n_rows FROM ce GROUP BY op
+""",
+        "time_travel": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+cut AS (SELECT CAST(floor(max(batch_id) / 2) AS BIGINT) AS mb FROM ce),
+ranked AS (
+  SELECT ce.*, row_number() OVER (
+      PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+  FROM ce, cut WHERE batch_id <= mb
+)
+SELECT {TABLE_COLS} FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+        "snapshot_history": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+cut AS (SELECT DISTINCT batch_id AS b FROM ce),
+pref AS (SELECT c.b AS b, ce.* FROM ce JOIN cut c ON ce.batch_id <= c.b),
+ranked AS (
+  SELECT b, op, row_number() OVER (
+      PARTITION BY b, repo, path ORDER BY event_seq DESC) AS rn
+  FROM pref
+),
+live AS (
+  SELECT b, count(*) AS live_rows FROM ranked
+  WHERE rn = 1 AND op <> 'delete' GROUP BY b
+)
+SELECT CAST(row_number() OVER (ORDER BY b) AS INT) AS batch_rank, live_rows
+FROM live
+""",
+        "dedup_first_arrival": f"""
+WITH ce AS ({ce})
+SELECT {TABLE_COLS}, event_seq AS ingest_seq FROM ce
+""",
+        "incremental_read_pruned": f"""
+WITH ce AS ({ce})
+SELECT {TABLE_COLS} FROM ce,
+     (SELECT CAST(floor(max(event_seq) / 2) AS BIGINT) AS h FROM ce) b
+WHERE event_seq > h
 """,
         "dedup_minhash_lsh": _minhash_lsh_sql(k=3, num_perm=16, bands=8, threshold=0.3),
         "minhash_signatures": _minhash_sig_sql(k=3, num_perm=16),

@@ -222,6 +222,35 @@ def newest_wins_reduce(
     )
 
 
+def first_arrival_dedup(
+    arrivals: DataFrame,
+    id_cols: list[str],
+    arrival_col: str = "ingest_seq",
+) -> DataFrame:
+    """Exactly-once ingest from an at-least-once delivery stream: keep the
+    FIRST arrival of each event id, drop redeliveries.
+
+    The reference assumes its JDBC source never redelivers (a SELECT range
+    is read once); a log-based CDC source (binlog/WAL shipping, queue
+    consumers) redelivers on reconnect, so the engine needs an explicit
+    arrival-side dedup before the merge. One ascending window per id —
+    Catalyst plants the same ``WindowGroupLimit(.., row_number, 1,
+    Partial)`` partial pre-reduce below the Exchange as the newest-wins
+    window (PLANS.md), so a redelivery storm on one hot id is bounded to
+    ≤ 1 row per map task before the shuffle. Since every copy of an event
+    carries identical payload, keep-first vs keep-any differs only in the
+    arrival bookkeeping — but keep-first makes the op deterministic and
+    auditable (the survivor's ``arrival_col`` is the id's first-seen
+    position).
+    """
+    w = Window.partitionBy(*id_cols).orderBy(F.col(arrival_col).asc())
+    return (
+        arrivals.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def merge_frames(
     old: DataFrame,
     new: DataFrame,

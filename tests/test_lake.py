@@ -174,3 +174,87 @@ def test_remove_orphan_files(spark, scratch):
     assert got2["removed_files"] == 1
     assert not os.path.exists(os.path.join(t.data_dir, "deadbeef"))
     assert sorted(r["k"] for r in t.read().collect()) == before
+
+
+def test_zone_map_stats_and_read_since(spark, scratch):
+    """Append-mode commits carry per-file min/max zone maps on the order
+    column; read_since prunes every file wholly below the watermark and
+    still returns exactly the filtered rows."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        f"{scratch}/zm",
+        schema,
+        ["k"],
+        num_buckets=2,
+        properties={"order_column": "seq"},
+    )
+    # three commits with disjoint seq ranges: [0,10), [10,20), [20,30)
+    for lo in (0, 10, 20):
+        rows = [(lo + i, lo + i, f"v{lo + i}") for i in range(10)]
+        t.append(spark.createDataFrame(rows, schema), batch_id=lo)
+
+    entries = t.manifest()["files"]
+    assert entries and all("stats" in e and "seq" in e["stats"] for e in entries)
+    for e in entries:
+        mn, mx = e["stats"]["seq"]
+        assert 0 <= mn <= mx <= 29
+
+    pruned = t.prune_entries(entries, "seq", lower=19)
+    assert pruned, "watermark 19 must keep the last commit's files"
+    assert len(pruned) < len(entries), "files wholly below the watermark skip"
+    assert all(e["stats"]["seq"][1] > 19 for e in pruned)
+
+    got = sorted(r["seq"] for r in t.read_since("seq", 19).collect())
+    assert got == list(range(20, 30))
+    # upper-bounded window (the append-slice contract: > lo AND <= hi)
+    got2 = sorted(r["seq"] for r in t.read_since("seq", 9, upper=19).collect())
+    assert got2 == list(range(10, 20))
+
+
+def test_prune_entries_fail_open_without_stats(spark, scratch):
+    """Entries with no recorded stat (older manifests, unstatted types)
+    must never be pruned."""
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("seq", T.LongType())]
+    )
+    t = LakeTable.create(
+        spark, f"{scratch}/zfo", schema, ["k"], num_buckets=1,
+        properties={"order_column": "seq"},
+    )
+    t.append(spark.createDataFrame([(1, 1), (2, 2)], schema))
+    entries = [dict(e) for e in t.manifest()["files"]]
+    for e in entries:
+        e.pop("stats", None)
+    assert t.prune_entries(entries, "seq", lower=10**9) == entries
+
+
+def test_read_since_mor_fallback(spark, scratch):
+    """With unresolved MoR deltas a per-file subset cannot be key-resolved:
+    read_since must fall back to full resolve + filter and still match."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, f"{scratch}/zmor", schema, ["k"], num_buckets=2,
+        properties={"order_column": "seq"},
+    )
+    t.append(spark.createDataFrame([(1, 1, "a"), (2, 2, "b")], schema))
+    # delta: newer version of k=1 (seq 10) and delete of k=2 (seq 11)
+    delta = spark.createDataFrame(
+        [(1, 10, "a2", "upsert"), (2, 11, "b", "delete")],
+        T.StructType(schema.fields + [T.StructField("op", T.StringType())]),
+    )
+    t.append_delta(delta)
+    got = {(r.k, r.seq, r.v) for r in t.read_since("seq", 5).collect()}
+    assert got == {(1, 10, "a2")}

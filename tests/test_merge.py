@@ -155,3 +155,26 @@ def test_fenced_batch_noop(spark, scratch):
     with pytest.raises(E.EngineError, match="fenced|already applied"):
         merge_apply(t, batch(spark, [("r", "a", "y", 1, "upsert")]), batch_id=5)
     assert state(t) == {("r", "a"): ("x", 0)}
+
+
+def test_first_arrival_dedup_keeps_first_copy(spark):
+    """At-least-once redelivery: the FIRST arrival per event id survives
+    (deterministic, auditable); redelivered copies drop even when they
+    arrive interleaved."""
+    from sqoop_spark.cdc.merge import first_arrival_dedup
+
+    rows = [
+        # (event_id, ingest_seq, delivery_tag)
+        (1, 100, "orig"),
+        (2, 101, "orig"),
+        (1, 102, "redelivery"),
+        (3, 103, "orig"),
+        (2, 104, "redelivery"),
+        (1, 105, "redelivery"),
+    ]
+    df = spark.createDataFrame(rows, "event_id LONG, ingest_seq LONG, tag STRING")
+    got = {
+        (r.event_id, r.ingest_seq, r.tag)
+        for r in first_arrival_dedup(df, ["event_id"], "ingest_seq").collect()
+    }
+    assert got == {(1, 100, "orig"), (2, 101, "orig"), (3, 103, "orig")}

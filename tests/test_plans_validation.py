@@ -147,3 +147,19 @@ def test_clean_identifiers(spark):
     df = spark.createDataFrame([(1, 2, 3)], ["a b", "a-b", "ok"])
     out = clean_identifiers(df)
     assert out.columns == ["a_b", "a_b_1", "ok"]
+
+
+def test_first_arrival_dedup_partial_window_group_limit(spark, staged):
+    """The ascending keep-first window gets the same map-side
+    WindowGroupLimit partial pre-reduce as newest-wins: a redelivery storm
+    on one hot event id is bounded to <= 1 row per map task pre-shuffle."""
+    from sqoop_spark.cdc.merge import first_arrival_dedup
+
+    ev = spark.read.parquet(staged).withColumn(
+        "ingest_seq", F.col("event_seq")
+    )
+    plan = _plan(first_arrival_dedup(ev, ["event_seq"], "ingest_seq"))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("Exchange hashpartitioning")[-1] or (
+        plan.count("WindowGroupLimit") >= 2
+    ), plan
