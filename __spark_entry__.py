@@ -668,6 +668,21 @@ def q_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*TABLE_COLS.split(", "), "ingest_seq")
 
 
+def q_dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline end-to-end: Jaccard near-dup pairs →
+    connected components → keep-policy resolution (longest text survives
+    per cluster, ties to the smallest doc_id; singletons always survive).
+    This is the decision surface a corpus dedup actually ships — per-doc
+    keep/drop — oracled by a DuckDB recursive CTE + the same window."""
+    from sqoop_spark.pipeline import connected_components, dedup_resolve
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    pairs = jaccard_pairs(docs, k=3, threshold=0.05)
+    clusters = connected_components(pairs)
+    scored = docs.select("doc_id", F.length("text").alias("n_chars"))
+    return dedup_resolve(scored, clusters, "n_chars")
+
+
 def q_incremental_read_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map incremental consumer: an append-mode table (the blind
     ``--incremental append`` sink) commits per-batch files whose event_seq
@@ -739,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_history": q_snapshot_history,
         "dedup_first_arrival": q_dedup_first_arrival,
         "incremental_read_pruned": q_incremental_read_pruned,
+        "dedup_keep_policy": q_dedup_keep_policy,
     }
 
 
@@ -754,6 +770,62 @@ def _h60_sql(expr: str) -> str:
     """DuckDB twin of sqoop_spark.pipeline.dedup._hash64(hash_fn='sha256'):
     first 15 hex chars of sha256 as a base-16 integer (60 bits)."""
     return f"('0x' || substr(sha256({expr}), 1, 15))::BIGINT"
+
+
+def _jaccard_pairs_sql(threshold: float = 0.05, k: int = 3) -> str:
+    """DuckDB twin of jaccard_pairs(k, threshold) over documents < 200."""
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE doc_id < 200),
+sh AS (SELECT doc_id, unnest({_shingle_list_sql(k)}) AS s FROM d),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {threshold}
+"""
+
+
+def _keep_policy_sql(threshold: float = 0.05) -> str:
+    """DuckDB twin of q_dedup_keep_policy: jaccard pairs → recursive-CTE
+    connected components → per-cluster argmax(n_chars, min doc_id) keep,
+    singletons kept as their own cluster."""
+    return f"""
+WITH RECURSIVE p2 AS ({_jaccard_pairs_sql(threshold)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p2
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM p2
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+r(id, m) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.id, e.b FROM r JOIN edges e ON r.m = e.a
+),
+lab AS (SELECT id, min(m) AS cluster_id FROM r GROUP BY id),
+d AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars
+      FROM documents WHERE doc_id < 200),
+j AS (SELECT d.doc_id, d.n_chars, lab.cluster_id
+      FROM d LEFT JOIN lab ON lab.id = d.doc_id),
+cl AS (
+  SELECT doc_id, n_chars, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+  FROM j WHERE cluster_id IS NOT NULL
+)
+SELECT doc_id, n_chars, cluster_id, keep FROM cl
+UNION ALL
+SELECT doc_id, n_chars, doc_id AS cluster_id, TRUE AS keep
+FROM j WHERE cluster_id IS NULL
+"""
 
 
 def _minhash_lsh_sql(
@@ -1307,23 +1379,8 @@ SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id,
        count(*) AS n_dups
 FROM documents GROUP BY sha256(text)
 """,
-        "dedup_jaccard": f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
-           FROM documents WHERE doc_id < 200),
-sh AS (SELECT doc_id, unnest({_shingle_list_sql(3)}) AS s FROM d),
-sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, n_common,
-       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
-FROM inter
-JOIN sz sa ON sa.doc_id = id_a
-JOIN sz sb ON sb.doc_id = id_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.05
-""",
+        "dedup_jaccard": _jaccard_pairs_sql(threshold=0.05, k=3),
+        "dedup_keep_policy": _keep_policy_sql(threshold=0.05),
         "token_count": """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
 FROM documents

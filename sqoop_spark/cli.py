@@ -533,6 +533,35 @@ def cmd_metastore(args) -> int:
     return 0
 
 
+def cmd_history(args) -> int:
+    """Snapshot history of a lake table — one JSON line per commit.
+
+    The audit surface of the snapshot-manifest protocol (Iceberg's
+    ``history``/``snapshots`` metadata tables): version, operation,
+    live-row total, file count, and the commit summary (batch fence,
+    merge counters). Pure manifest metadata — no Spark session, no data
+    files opened, O(versions) regardless of table size."""
+    from sqoop_spark.lake import LakeTable
+
+    if not LakeTable.exists(args.path):
+        raise SystemExit(f"history: no lake table at {args.path}")
+    t = LakeTable(None, args.path)
+    for s in t.snapshots():
+        print(
+            json.dumps(
+                {
+                    "version": s.version,
+                    "operation": s.operation,
+                    "total_rows": s.total_rows,
+                    "num_files": s.num_files,
+                    "summary": s.summary,
+                },
+                default=str,
+            )
+        )
+    return 0
+
+
 def cmd_eval(args) -> int:
     """Ad-hoc SQL — tool/EvalSqlTool.java. With --connect a result-set
     statement runs as a JDBC subquery read; a write statement (INSERT/
@@ -803,6 +832,10 @@ def build_parser() -> argparse.ArgumentParser:
     ms.add_argument("--job-store", default=".sqoop_spark_jobs")
     ms.add_argument("--shutdown", action="store_true")
     ms.set_defaults(fn=cmd_metastore)
+
+    hist = sub.add_parser("history", help="snapshot history of a lake table")
+    hist.add_argument("--path", required=True)
+    hist.set_defaults(fn=cmd_history)
 
     ev = sub.add_parser("eval", help="ad-hoc SQL")
     ev.add_argument("-e", required=True, help="SQL text")

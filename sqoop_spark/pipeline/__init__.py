@@ -1,5 +1,6 @@
 from sqoop_spark.pipeline.dedup import (  # noqa: F401
     connected_components,
+    dedup_resolve,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,

@@ -32,7 +32,7 @@ checkable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from sqoop_spark.errors import EngineError
 
@@ -382,3 +382,48 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("_id").alias("id"), F.col("_label").alias("cluster_id"))
+
+
+def dedup_resolve(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-policy resolution: the end of the dedup pipeline — given the
+    cluster labels from :func:`connected_components`, decide per document
+    whether it survives. One survivor per cluster: the highest
+    ``score_col`` wins (quality-first keep policy — longest text, best
+    quality score, freshest crawl), ties break to the smallest id so the
+    decision is deterministic. Documents absent from ``clusters`` are
+    singletons and always survive.
+
+    Shape at scale: ``clusters`` holds only clustered ids (a small
+    fraction of the corpus), so the join broadcasts or AQE-sizes itself;
+    the survivor choice is one window keyed on ``cluster_id`` whose
+    ascending/descending row_number gets the same map-side
+    ``WindowGroupLimit`` partial pre-reduce as the newest-wins merge —
+    a pathological million-member cluster forwards ≤ 1 row per map task.
+    Returns ``(id_col, cluster_id, score_col, keep)`` for every input doc.
+    """
+    labeled = docs.select(F.col(id_col), F.col(score_col)).join(
+        clusters.select(F.col("id").alias(id_col), "cluster_id"),
+        id_col,
+        "left",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    clustered = (
+        labeled.filter(F.col("cluster_id").isNotNull())
+        .withColumn("keep", F.row_number().over(w) == 1)
+    )
+    singletons = labeled.filter(F.col("cluster_id").isNull()).select(
+        F.col(id_col),
+        F.col(score_col),
+        F.col(id_col).alias("cluster_id"),
+        F.lit(True).alias("keep"),
+    )
+    return clustered.select(id_col, score_col, "cluster_id", "keep").unionByName(
+        singletons
+    )

@@ -482,3 +482,30 @@ def test_cli_list_tools_require_path_or_connect():
         cli_main(["list-tables"])
     with pytest.raises(SystemExit, match="one of --path or --connect"):
         cli_main(["list-databases"])
+
+
+def test_cli_history(spark, scratch, capsys):
+    """history tool: one JSON line per snapshot from pure manifest
+    metadata (no Spark session inside the tool), versions in order with
+    operations and live-row totals."""
+    from pyspark.sql import types as T
+
+    from sqoop_spark.lake import LakeTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    path = os.path.join(scratch, "hist_t")
+    t = LakeTable.create(spark, path, schema, ["k"], num_buckets=2)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema), batch_id=0)
+    t.append(spark.createDataFrame([(3, "c")], schema), batch_id=1)
+
+    assert cli_main(["history", "--path", path]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [x["version"] for x in lines] == [1, 2, 3]
+    assert [x["operation"] for x in lines] == ["create", "append", "append"]
+    assert lines[2]["total_rows"] == 3
+    assert lines[1]["summary"]["batch_id"] == 0
+
+    with pytest.raises(SystemExit, match="no lake table"):
+        cli_main(["history", "--path", os.path.join(scratch, "nope")])

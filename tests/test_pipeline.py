@@ -849,3 +849,30 @@ def test_connected_components_matches_embedding_oracle(spark):
     want = {x: find(x) for x in parent}
     got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == want
+
+
+def test_dedup_resolve_keep_policy(spark):
+    """Keep-policy end of the dedup pipeline: per cluster the highest
+    score survives (ties to smallest id); singletons always survive."""
+    from sqoop_spark.pipeline import dedup_resolve
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "id LONG, cluster_id LONG"
+    )
+    docs = spark.createDataFrame(
+        # cluster 1: doc 2 longest; cluster 10: tie -> doc 10; 99 singleton
+        [(1, 5), (2, 9), (3, 7), (10, 4), (11, 4), (99, 1)],
+        "doc_id LONG, n_chars INT",
+    )
+    got = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in dedup_resolve(docs, clusters, "n_chars").collect()
+    }
+    assert got == {
+        (1, 1, False),
+        (2, 1, True),
+        (3, 1, False),
+        (10, 10, True),
+        (11, 10, False),
+        (99, 99, True),
+    }
