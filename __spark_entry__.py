@@ -668,6 +668,25 @@ def q_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*TABLE_COLS.split(", "), "ingest_seq")
 
 
+def q_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound CDC: the row-level diff between the mid-replay snapshot and
+    the final one (insert/update/delete change rows) via
+    ``changes_between`` — unchanged buckets are pruned from both sides by
+    manifest diff before the join. Oracled by full-outer-joining the two
+    prefix newest-wins states in DuckDB."""
+    events = _events(spark, sf_dir, batch_size=_adaptive_batch_size(spark, sf_dir))
+    bids = sorted(r[0] for r in events.select("batch_id").distinct().collect())
+    mid = bids[-1] // 2
+    j = sum(1 for b in bids if b <= mid)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_cl_")
+    engine = CdcEngine.create_table(spark, f"{tmp}/repos", num_buckets=16)
+    engine.replay(events)
+    diff = engine.table.changes_between(1 + j).select(
+        "repo", "path", F.col("_change").alias("change"), "event_seq"
+    )
+    return _materialize_and_clean(diff, tmp)
+
+
 def q_dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup pipeline end-to-end: Jaccard near-dup pairs →
     connected components → keep-policy resolution (longest text survives
@@ -755,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_arrival": q_dedup_first_arrival,
         "incremental_read_pruned": q_incremental_read_pruned,
         "dedup_keep_policy": q_dedup_keep_policy,
+        "snapshot_changelog": q_snapshot_changelog,
     }
 
 
@@ -1359,6 +1379,33 @@ FROM live
         "dedup_first_arrival": f"""
 WITH ce AS ({ce})
 SELECT {TABLE_COLS}, event_seq AS ingest_seq FROM ce
+""",
+        "snapshot_changelog": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+cut AS (SELECT CAST(floor(max(batch_id) / 2) AS BIGINT) AS mb FROM ce),
+oldr AS (
+  SELECT * FROM (
+    SELECT ce.*, row_number() OVER (
+        PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+    FROM ce, cut WHERE batch_id <= mb
+  ) t WHERE rn = 1 AND op <> 'delete'
+),
+newr AS (
+  SELECT * FROM (
+    SELECT ce.*, row_number() OVER (
+        PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+    FROM ce
+  ) t WHERE rn = 1 AND op <> 'delete'
+)
+SELECT COALESCE(n.repo, o.repo) AS repo,
+       COALESCE(n.path, o.path) AS path,
+       CASE WHEN o.repo IS NULL THEN 'insert'
+            WHEN n.repo IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       COALESCE(n.event_seq, o.event_seq) AS event_seq
+FROM oldr o FULL OUTER JOIN newr n
+  ON o.repo = n.repo AND o.path = n.path
+WHERE o.repo IS NULL OR n.repo IS NULL OR o.event_seq <> n.event_seq
 """,
         "incremental_read_pruned": f"""
 WITH ce AS ({ce})

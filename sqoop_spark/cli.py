@@ -723,6 +723,43 @@ def cmd_import_all_tables(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """Lake-table maintenance: compaction, small-file bin-packing,
+    snapshot expiry, orphan cleanup — the operational companion of the
+    snapshot protocol (Iceberg's maintenance procedures; the reference
+    has no analog because MR output dirs are write-once). Each flag runs
+    one action; results print as one JSON object."""
+    from sqoop_spark.lake import LakeTable
+
+    if not LakeTable.exists(args.path):
+        raise SystemExit(f"maintain: no lake table at {args.path}")
+    out: dict = {}
+    needs_spark = args.compact or args.rewrite_small_files is not None
+    t = LakeTable(_session(args) if needs_spark else None, args.path)
+    if args.compact:
+        before = t.current_version()
+        t.compact()
+        out["compact"] = {"committed": t.current_version() != before}
+    if args.rewrite_small_files is not None:
+        m = t.rewrite_small_files(target_rows=args.rewrite_small_files)
+        out["rewrite"] = m.get("summary", {}) if m["operation"] == "rewrite" else {
+            "noop": True
+        }
+    if args.expire_snapshots is not None:
+        out["expire"] = t.expire_snapshots(keep_last=args.expire_snapshots)
+    if args.remove_orphans is not None:
+        out["orphans"] = t.remove_orphan_files(
+            older_than_seconds=args.remove_orphans
+        )
+    if not out:
+        raise SystemExit(
+            "maintain: one of --compact/--rewrite-small-files/"
+            "--expire-snapshots/--remove-orphans required"
+        )
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def cmd_bench(args) -> int:
     os.environ.setdefault("SPARK_GRAFT_SF_DIR", args.sf_dir)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -836,6 +873,16 @@ def build_parser() -> argparse.ArgumentParser:
     hist = sub.add_parser("history", help="snapshot history of a lake table")
     hist.add_argument("--path", required=True)
     hist.set_defaults(fn=cmd_history)
+
+    mt = sub.add_parser("maintain", help="lake-table maintenance actions")
+    mt.add_argument("--path", required=True)
+    mt.add_argument("--compact", action="store_true",
+                    help="collapse MoR deltas into base files")
+    mt.add_argument("--rewrite-small-files", type=int, metavar="TARGET_ROWS",
+                    help="bin-pack base files smaller than TARGET_ROWS avg")
+    mt.add_argument("--expire-snapshots", type=int, metavar="KEEP_LAST")
+    mt.add_argument("--remove-orphans", type=float, metavar="OLDER_THAN_SECONDS")
+    mt.set_defaults(fn=cmd_maintain)
 
     ev = sub.add_parser("eval", help="ad-hoc SQL")
     ev.add_argument("-e", required=True, help="SQL text")

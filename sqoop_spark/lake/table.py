@@ -439,6 +439,89 @@ class LakeTable:
         pruned = self.prune_entries(entries, column, lower=last_value, upper=upper)
         return self._read_files(pruned, version).filter(pred)
 
+    def _read_state(self, version: int | None, buckets: set[int] | None) -> DataFrame:
+        """Logical state of ``version`` restricted to ``buckets`` (all when
+        None), MoR deltas resolved — the per-bucket unit of changes_between."""
+        entries = self._entries(version, buckets=buckets)
+        if not any(e.get("delta") for e in entries):
+            return self._read_files(entries, version)
+        return self._resolve(self._read_files(entries, version, with_op=True))
+
+    def changes_between(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Snapshot changelog — the row-level diff between two committed
+        snapshots as insert/update/delete change rows (Iceberg's changelog
+        view; the outbound half of CDC: downstream consumers subscribe to
+        "what changed between snapshot A and B" without replaying the
+        event log).
+
+        Returns the table columns (taken from the NEW state for insert/
+        update, the OLD state for delete) plus ``_change``.
+
+        Scale shape: keys are hash-bucketed and CoW rewrites whole
+        buckets, so a bucket whose manifest file set is IDENTICAL in both
+        versions cannot contain a changed key — those buckets are pruned
+        from BOTH sides before the join (the manifest-diff analog of the
+        zone-map skip: the diff costs O(changed buckets), not O(table)).
+        The remaining states full-outer join hash-partitioned on the key;
+        ``update`` means any ``compare_cols`` column differs null-safely
+        (default: every non-key column)."""
+        to_v = to_version if to_version is not None else self.current_version()
+        key_cols = self.key_columns
+
+        def by_bucket(version: int) -> dict[int, tuple]:
+            out: dict[int, list] = {}
+            for e in self.manifest(version)["files"]:
+                out.setdefault(e["bucket"], []).append(
+                    (e["path"], bool(e.get("delta")))
+                )
+            return {b: tuple(sorted(v)) for b, v in out.items()}
+        old_b, new_b = by_bucket(from_version), by_bucket(to_v)
+        changed = {
+            b
+            for b in set(old_b) | set(new_b)
+            if old_b.get(b) != new_b.get(b)
+        }
+        schema_cols = [f.name for f in self.schema(to_v).fields]
+        if compare_cols is None:
+            compare_cols = [c for c in schema_cols if c not in key_cols]
+        if not changed:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    self.schema(to_v).fields + [T.StructField("_change", T.StringType())]
+                ),
+            )
+        old = self._read_state(from_version, changed).alias("o")
+        new = self._read_state(to_v, changed).alias("n")
+        cond = None
+        for k in key_cols:
+            p = F.col(f"o.{k}") == F.col(f"n.{k}")
+            cond = p if cond is None else (cond & p)
+        joined = old.join(new, cond, "full_outer")
+        has_old = F.col(f"o.{key_cols[0]}").isNotNull()
+        has_new = F.col(f"n.{key_cols[0]}").isNotNull()
+        differs = F.lit(False)
+        for c in compare_cols:
+            differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        change = (
+            F.when(~has_old, F.lit("insert"))
+            .when(~has_new, F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        out_cols = [
+            F.when(has_new, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+            for c in schema_cols
+        ]
+        return (
+            joined.filter(~has_old | ~has_new | differs)
+            .select(*out_cols, change.alias("_change"))
+        )
+
     def delta_file_counts(self) -> dict[int, int]:
         """Per-bucket count of unmerged delta files (compaction signal)."""
         out: dict[int, int] = {}
@@ -678,6 +761,58 @@ class LakeTable:
                 **(summary or {}),
                 "compacted_buckets": len(target),
                 "tombstones": sum(e["rows"] for e in tomb_entries),
+            },
+            None,
+        )
+
+    def rewrite_small_files(
+        self,
+        target_rows: int = 1_000_000,
+        min_files: int = 2,
+        buckets: Iterable[int] | None = None,
+        batch_id: int | None = None,
+    ) -> dict:
+        """Bin-pack small base files (Iceberg ``rewrite_data_files``).
+
+        Streaming/incremental ingest commits many small per-batch files;
+        read amplification then grows with commit COUNT rather than data
+        size — at 100 TB the difference between opening 10^3 and 10^7
+        parquet footers. Buckets holding ≥ ``min_files`` base files
+        averaging under ``target_rows`` rows are rewritten into few large
+        files; everything else (including MoR delta files — those belong
+        to :meth:`compact`, and read-time resolution orders by the order
+        column, never by file position, so rewriting base files under
+        live deltas is safe) is carried forward by reference. A no-op
+        returns the current manifest without committing."""
+        base_by_bucket: dict[int, list[dict]] = {}
+        for e in self.manifest()["files"]:
+            if not e.get("delta"):
+                base_by_bucket.setdefault(e["bucket"], []).append(e)
+        target = {
+            b: files
+            for b, files in base_by_bucket.items()
+            if len(files) >= min_files
+            and sum(f["rows"] for f in files) / len(files) < target_rows
+            and (buckets is None or b in set(buckets))
+        }
+        if not target:
+            return self.manifest()
+        rewritten = [e for files in target.values() for e in files]
+        df = self._read_files(rewritten)
+        entries = self._write_data_files(self._prepare_df(df))
+        carried = [
+            e
+            for e in self.manifest()["files"]
+            if e.get("delta") or e["bucket"] not in target
+        ]
+        return self._commit(
+            "rewrite",
+            carried + entries,
+            batch_id,
+            {
+                "rewritten_files": len(rewritten),
+                "new_files": len(entries),
+                "buckets": len(target),
             },
             None,
         )

@@ -509,3 +509,40 @@ def test_cli_history(spark, scratch, capsys):
 
     with pytest.raises(SystemExit, match="no lake table"):
         cli_main(["history", "--path", os.path.join(scratch, "nope")])
+
+
+def test_cli_maintain(spark, scratch, capsys):
+    """maintain tool: bin-packing + snapshot expiry + orphan cleanup over
+    one CLI surface; JSON report per action."""
+    from pyspark.sql import types as T
+
+    from sqoop_spark.lake import LakeTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("seq", T.LongType())]
+    )
+    path = os.path.join(scratch, "mt_t")
+    t = LakeTable.create(
+        spark, path, schema, ["k"], num_buckets=2,
+        properties={"order_column": "seq"},
+    )
+    for c in range(3):
+        t.append(spark.createDataFrame([(c * 5 + i, c * 5 + i) for i in range(5)], schema))
+    files_before = len(t.manifest()["files"])
+
+    assert cli_main(["maintain", "--path", path, "--rewrite-small-files", "1000"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["rewrite"]["rewritten_files"] == files_before
+
+    assert cli_main(
+        ["maintain", "--path", path, "--expire-snapshots", "1",
+         "--remove-orphans", "0"]
+    ) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip())
+    assert rep2["expire"]["expired_versions"] >= 1
+
+    t2 = LakeTable.load(spark, path)
+    assert t2.read().count() == 15
+
+    with pytest.raises(SystemExit, match="required"):
+        cli_main(["maintain", "--path", path])

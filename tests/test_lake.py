@@ -258,3 +258,78 @@ def test_read_since_mor_fallback(spark, scratch):
     t.append_delta(delta)
     got = {(r.k, r.seq, r.v) for r in t.read_since("seq", 5).collect()}
     assert got == {(1, 10, "a2")}
+
+
+def test_changes_between_snapshots(spark, scratch):
+    """Snapshot changelog: insert/update/delete classification across two
+    versions, MoR deltas resolved, unchanged buckets pruned by manifest
+    diff; identical versions diff to an empty frame without a join."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, f"{scratch}/cl", schema, ["k"], num_buckets=4,
+        properties={"order_column": "seq"},
+    )
+    base = [(i, i, f"v{i}") for i in range(1, 9)]
+    t.append(spark.createDataFrame(base, schema))  # v2
+    delta = spark.createDataFrame(
+        [(1, 100, "v1b", "upsert"), (2, 101, "v2", "delete"), (9, 102, "v9", "upsert")],
+        T.StructType(schema.fields + [T.StructField("op", T.StringType())]),
+    )
+    t.append_delta(delta)  # v3
+
+    diff = t.changes_between(2, 3)
+    got = {(r.k, r._change, r.seq) for r in diff.collect()}
+    assert got == {(1, "update", 100), (2, "delete", 2), (9, "insert", 102)}
+
+    # identical versions: metadata-only empty diff
+    assert t.changes_between(3, 3).count() == 0
+    assert t.changes_between(2, 2).count() == 0
+
+
+def test_rewrite_small_files(spark, scratch):
+    """Bin-packing: many small per-commit base files collapse to one per
+    bucket; content identical, zone maps refreshed, deltas untouched."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, f"{scratch}/rw", schema, ["k"], num_buckets=2,
+        properties={"order_column": "seq"},
+    )
+    for c in range(4):  # 4 tiny commits -> >= 4 base files per bucket
+        rows = [(c * 10 + i, c * 10 + i, f"v{c}{i}") for i in range(6)]
+        t.append(spark.createDataFrame(rows, schema), batch_id=c)
+    before = {(r.k, r.seq, r.v) for r in t.read().collect()}
+    files_before = len(t.manifest()["files"])
+
+    m = t.rewrite_small_files(target_rows=1000)
+    assert m["operation"] == "rewrite"
+    per_bucket = {}
+    for e in t.manifest()["files"]:
+        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    assert all(n == 1 for n in per_bucket.values()), per_bucket
+    assert len(t.manifest()["files"]) < files_before
+    assert {(r.k, r.seq, r.v) for r in t.read().collect()} == before
+    # zone maps present on the rewritten files
+    assert all("seq" in (e.get("stats") or {}) for e in t.manifest()["files"])
+
+    # already-packed table: no-op, no new commit
+    v = t.current_version()
+    t.rewrite_small_files(target_rows=1000)
+    assert t.current_version() == v
+
+    # big files (avg rows >= target) are left alone
+    t.append(spark.createDataFrame([(100, 100, "x"), (101, 101, "y")], schema))
+    v2 = t.current_version()
+    t.rewrite_small_files(target_rows=1)
+    assert t.current_version() == v2
