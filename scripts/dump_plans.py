@@ -184,6 +184,91 @@ def main() -> None:
         )
     )
 
+    # -- lake metadata-driven reads (round 3) --------------------------------
+    from pyspark.sql import types as T
+
+    from sqoop_spark.cdc.merge import first_arrival_dedup
+    from sqoop_spark.lake import LakeTable
+    from sqoop_spark.pipeline import dedup_resolve
+
+    lschema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    lt = LakeTable.create(
+        spark,
+        f"{SCRATCH}/zm",
+        lschema,
+        ["k"],
+        num_buckets=2,
+        properties={"order_column": "seq"},
+    )
+    for lo in (0, 100, 200, 300):
+        lt.append(
+            spark.createDataFrame(
+                [(lo + i, lo + i, f"v{lo + i}") for i in range(100)], lschema
+            ),
+            batch_id=lo,
+        )
+    since = lt.read_since("seq", 299)
+    n_total = len(lt.manifest()["files"])
+    n_pruned = len(lt.prune_entries(lt.manifest()["files"], "seq", lower=299))
+    sections.append(
+        (
+            "Zone-map pruned incremental read (read_since)",
+            f"Four append commits; the watermark read opens {n_pruned} of "
+            f"{n_total} files — every file whose max(seq) zone-map bound "
+            "sits below the watermark is skipped BEFORE the scan (the "
+            "manifest is the index; the scan's Location lists only the "
+            "surviving paths), and the residual predicate still pushes "
+            "down.",
+            formatted(since),
+        )
+    )
+
+    diff = lt.changes_between(2, 5)
+    sections.append(
+        (
+            "Snapshot changelog (changes_between)",
+            "Row-level diff of two snapshots: buckets whose manifest file "
+            "sets are identical in both versions are pruned from BOTH scan "
+            "sides before the single full-outer SortMergeJoin on the key — "
+            "the diff reads O(changed buckets), never the whole table.",
+            formatted(diff),
+        )
+    )
+
+    arr = ev.withColumn("ingest_seq", F.col("event_seq"))
+    fa = first_arrival_dedup(arr, ["event_seq"], "ingest_seq")
+    sections.append(
+        (
+            "First-arrival dedup (exactly-once ingest)",
+            "Keep-first ascending window: the same partial WindowGroupLimit "
+            "below the Exchange as newest-wins — a redelivery storm on one "
+            "hot event id forwards ≤ 1 row per map task pre-shuffle.",
+            formatted(fa),
+        )
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "id LONG, cluster_id LONG"
+    )
+    scored = docs.select("doc_id", F.length("text").alias("n_chars"))
+    res = dedup_resolve(scored, clusters, "n_chars")
+    sections.append(
+        (
+            "Keep-policy resolution (dedup_resolve)",
+            "Survivor choice is one window keyed on cluster_id (with the "
+            "WindowGroupLimit partial pre-reduce); the tiny cluster-label "
+            "frame joins the corpus via BroadcastHashJoin, so the corpus "
+            "never shuffles for the label attach.",
+            formatted(res),
+        )
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by "
