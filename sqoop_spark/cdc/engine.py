@@ -109,6 +109,8 @@ class CdcEngine:
         validate_counts: bool = True,
         merge_strategy: str = "cow",
         auto_compact_threshold: int = 16,
+        dedup_id_cols: list[str] | None = None,
+        dedup_arrival_col: str = "event_seq",
     ):
         if merge_strategy not in ("cow", "mor"):
             raise EngineError(f"unknown merge strategy: {merge_strategy}")
@@ -120,6 +122,14 @@ class CdcEngine:
         self.validate_counts = validate_counts
         self.merge_strategy = merge_strategy
         self.auto_compact_threshold = auto_compact_threshold
+        # At-least-once sources (queue consumers, binlog reconnects) can
+        # redeliver events. The keyed merge path absorbs redelivery for
+        # free (newest-wins per key is idempotent), but blind append
+        # (merge_mode=None) would double rows — set ``dedup_id_cols`` to
+        # the event-identity columns to keep the FIRST arrival per id
+        # within each batch (cdc.merge.first_arrival_dedup).
+        self.dedup_id_cols = dedup_id_cols
+        self.dedup_arrival_col = dedup_arrival_col
 
     # -- table bootstrap -----------------------------------------------------
 
@@ -161,7 +171,13 @@ class CdcEngine:
             return None
         if self.merge_mode is None:
             # No merge key configured → blind append, Sqoop's plain
-            # `--incremental append` sink (no dedup; ImportTool append path).
+            # `--incremental append` sink (ImportTool append path).
+            if self.dedup_id_cols:
+                from sqoop_spark.cdc.merge import first_arrival_dedup
+
+                batch = first_arrival_dedup(
+                    batch, self.dedup_id_cols, self.dedup_arrival_col
+                )
             df = self._transform(batch)
             cols = [f.name for f in self.table.schema().fields]
             manifest = self.table.append(

@@ -309,11 +309,34 @@ def cmd_export(args) -> int:
     from sqoop_spark.sinks import write_delimited
 
     spark = _session(args)
-    src = (
-        LakeTable.load(spark, args.source).read()
-        if LakeTable.exists(args.source)
-        else spark.read.parquet(args.source)
-    )
+    since = getattr(args, "since", None)
+    changes_since = getattr(args, "changes_since", None)
+    if LakeTable.exists(args.source):
+        t = LakeTable.load(spark, args.source)
+        if changes_since is not None:
+            # Outbound CDC: ship the row-level snapshot diff (insert/
+            # update/delete + _change) instead of the full state — the
+            # incremental direction Sqoop export lacks (ExportTool is
+            # always full-table); consumers resume from the last version
+            # they exported, reading O(changed buckets).
+            src = t.changes_between(changes_since)
+        elif since is not None:
+            # Zone-map incremental export: rows with check_column >
+            # watermark, whole files below it skipped via manifest stats.
+            from sqoop_spark.cdc.engine import _coerce_last_value
+
+            col = args.check_column
+            src = t.read_since(
+                col, _coerce_last_value(t.schema()[col].dataType, since)
+            )
+        else:
+            src = t.read()
+    else:
+        if changes_since is not None or since is not None:
+            raise SystemExit(
+                "export: --since/--changes-since require a lake-table source"
+            )
+        src = spark.read.parquet(args.source)
     if getattr(args, "connect", None):
         from sqoop_spark.errors import EngineError
         from sqoop_spark.sources.jdbc import (
@@ -843,6 +866,13 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--password")
     exp.add_argument("--records-per-statement", type=int, default=100,
                      help="sqoop.export.records.per.statement analog")
+    exp.add_argument("--since", metavar="WATERMARK",
+                     help="incremental export: rows with --check-column > "
+                          "WATERMARK (zone-map file skipping)")
+    exp.add_argument("--check-column", default="event_seq")
+    exp.add_argument("--changes-since", type=int, metavar="VERSION",
+                     help="outbound CDC: ship the snapshot diff since "
+                          "VERSION (insert/update/delete + _change)")
     exp.set_defaults(fn=cmd_export)
 
     cg = sub.add_parser("codegen", help="emit schema/cast plan for a table")

@@ -96,10 +96,14 @@ FROM (
 def derive_events_sql(
     events_rel: str,
     dialect: str,
-    batch_size: int = 1000,
+    batch_size: int | str = 1000,
     n_paths: int = 97,
 ) -> str:
-    """Render the derivation SQL for ``dialect`` in {'spark', 'duckdb'}."""
+    """Render the derivation SQL for ``dialect`` in {'spark', 'duckdb'}.
+
+    ``batch_size`` may be a SQL scalar-subquery string (the adaptive
+    fixture sizing in __spark_entry__) — it lands inside the batch_id
+    divisor."""
     sql = _DERIVE_TEMPLATE.format(
         events_rel=events_rel, batch_size=batch_size, n_paths=n_paths
     )

@@ -427,6 +427,8 @@ class LakeTable:
         resolve + filter — correctness first.)"""
         from sqoop_spark.cdc.watermark import typed_lit
 
+        if column not in self.schema(version).fieldNames():
+            raise EngineError(f"read_since: no column {column!r} in table schema")
         dtype = self.schema(version)[column].dataType
         pred = F.lit(True)
         if last_value is not None:
@@ -471,6 +473,13 @@ class LakeTable:
         ``update`` means any ``compare_cols`` column differs null-safely
         (default: every non-key column)."""
         to_v = to_version if to_version is not None else self.current_version()
+        cur = self.current_version() or 0
+        for v in (from_version, to_v):
+            if not (1 <= v <= cur):
+                raise EngineError(
+                    f"changes_between: version {v} not in [1, {cur}] "
+                    "(expired or never committed)"
+                )
         key_cols = self.key_columns
 
         def by_bucket(version: int) -> dict[int, tuple]:

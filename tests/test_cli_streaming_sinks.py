@@ -546,3 +546,54 @@ def test_cli_maintain(spark, scratch, capsys):
 
     with pytest.raises(SystemExit, match="required"):
         cli_main(["maintain", "--path", path])
+
+
+def test_cli_export_incremental_and_changelog(spark, scratch, capsys):
+    """export --since (zone-map incremental) and --changes-since (outbound
+    CDC diff) over a lake-table source."""
+    from pyspark.sql import types as T
+
+    from sqoop_spark.lake import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    src = os.path.join(scratch, "exp_src")
+    t = LakeTable.create(
+        spark, src, schema, ["k"], num_buckets=2,
+        properties={"order_column": "seq"},
+    )
+    t.append(spark.createDataFrame([(i, i, f"a{i}") for i in range(10)], schema))
+    v2 = t.current_version()
+    t.append(spark.createDataFrame([(i, i, f"b{i}") for i in range(10, 16)], schema))
+
+    out1 = os.path.join(scratch, "exp_out1")
+    assert cli_main(
+        ["export", "--source", src, "--target-table", out1,
+         "--since", "9", "--check-column", "seq"]
+    ) == 0
+    capsys.readouterr()
+    got = {(r.k, r.seq) for r in spark.read.parquet(out1).collect()}
+    assert got == {(i, i) for i in range(10, 16)}
+
+    out2 = os.path.join(scratch, "exp_out2")
+    assert cli_main(
+        ["export", "--source", src, "--target-table", out2,
+         "--changes-since", str(v2)]
+    ) == 0
+    capsys.readouterr()
+    diff = spark.read.parquet(out2)
+    assert set(diff.columns) == {"k", "seq", "v", "_change"}
+    assert {(r.k, r._change) for r in diff.collect()} == {
+        (i, "insert") for i in range(10, 16)
+    }
+
+    with pytest.raises(SystemExit, match="lake-table source"):
+        cli_main(
+            ["export", "--source", out1, "--target-table",
+             os.path.join(scratch, "exp_out3"), "--since", "0"]
+        )

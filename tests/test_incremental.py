@@ -211,3 +211,21 @@ def test_saved_job_lifecycle(spark, scratch):
         store.create("a", {})
     with pytest.raises(E.EngineError, match="no such job"):
         store.read("zz")
+
+
+def test_blind_append_first_arrival_dedup(spark, scratch):
+    """merge_mode=None (blind append) doubles rows under at-least-once
+    redelivery; dedup_id_cols keeps the first arrival per event id. The
+    keyed merge path needs no such knob — newest-wins is idempotent."""
+    rows = [ev(1, "r", "a", "x"), ev(2, "r", "b", "y")]
+    redelivered = rows + rows
+
+    eng = make_engine(spark, scratch, merge_mode=None, dedup_id_cols=["event_seq"])
+    eng.run_incremental(events_df(spark, redelivered))
+    assert eng.table.total_rows() == 2
+
+    eng2 = CdcEngine.create_table(
+        spark, os.path.join(scratch, "repos2"), num_buckets=8, merge_mode=None
+    )
+    eng2.run_incremental(events_df(spark, redelivered))
+    assert eng2.table.total_rows() == 4

@@ -333,3 +333,42 @@ def test_rewrite_small_files(spark, scratch):
     v2 = t.current_version()
     t.rewrite_small_files(target_rows=1)
     assert t.current_version() == v2
+
+
+def test_changelog_roundtrip_applies_to_old_state(spark, scratch):
+    """Semantic invariant: old-state ⊕ changes_between(a, b) == state(b).
+    Applying the diff (drop deleted/updated keys, add insert/update rows)
+    to the old snapshot must reproduce the new one exactly."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, f"{scratch}/clrt", schema, ["k"], num_buckets=4,
+        properties={"order_column": "seq"},
+    )
+    op_schema = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    phase1 = [(i, i, f"a{i}", "upsert") for i in range(30)]
+    t.append_delta(spark.createDataFrame(phase1, op_schema))
+    v_a = t.current_version()
+    phase2 = (
+        [(i, 100 + i, f"b{i}", "upsert") for i in range(0, 30, 3)]  # updates
+        + [(i, 200 + i, f"c{i}", "delete") for i in range(1, 30, 5)]  # deletes
+        + [(i, 300 + i, f"n{i}", "upsert") for i in range(40, 50)]  # inserts
+    )
+    t.append_delta(spark.createDataFrame(phase2, op_schema))
+    t.compact()
+    v_b = t.current_version()
+
+    diff = t.changes_between(v_a, v_b)
+    old = t.read(v_a)
+    touched = diff.select("k").distinct()
+    applied = old.join(touched, "k", "left_anti").unionByName(
+        diff.filter(F.col("_change") != "delete").drop("_change")
+    )
+    want = {(r.k, r.seq, r.v) for r in t.read(v_b).collect()}
+    got = {(r.k, r.seq, r.v) for r in applied.collect()}
+    assert got == want
