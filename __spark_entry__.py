@@ -668,6 +668,22 @@ def q_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*TABLE_COLS.split(", "), "ingest_seq")
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality gate as one scan projection: keep flag +
+    drop_reason audit column from the composed threshold chain; DuckDB
+    recomputes the identical CASE chain."""
+    from sqoop_spark.pipeline import filter_documents
+
+    return filter_documents(
+        _docs(spark, sf_dir),
+        min_chars=200,
+        min_tokens=40,
+        min_mean_tok_len=3.0,
+        max_mean_tok_len=8.0,
+        min_stopword_ratio=0.01,
+    )
+
+
 def q_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outbound CDC: the row-level diff between the mid-replay snapshot and
     the final one (insert/update/delete change rows) via
@@ -775,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_read_pruned": q_incremental_read_pruned,
         "dedup_keep_policy": q_dedup_keep_policy,
         "snapshot_changelog": q_snapshot_changelog,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -1446,6 +1463,30 @@ SELECT doc_id,
   round(CAST({" + ".join(f"len(list_filter(t, x -> x = '{w}'))" for w in STOPWORDS)} AS DOUBLE)
         / len(t), 6) AS stopword_ratio
 FROM d
+""",
+        "quality_filter": f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+f AS (
+  SELECT doc_id,
+    CAST(length(text) AS INT) AS n_chars,
+    CAST(len(t) AS INT) AS n_tokens,
+    CAST(length(text) AS DOUBLE) / len(t) AS mean_tok,
+    CAST({" + ".join(f"len(list_filter(t, x -> x = '{w}'))" for w in STOPWORDS)} AS DOUBLE)
+      / len(t) AS stop_ratio
+  FROM d
+),
+r AS (
+  SELECT doc_id, n_chars, n_tokens,
+    CASE WHEN n_chars < 200 THEN 'too_short'
+         WHEN n_chars > 100000 THEN 'too_long'
+         WHEN n_tokens < 40 THEN 'too_few_tokens'
+         WHEN mean_tok < 3.0 THEN 'mean_tok_len_low'
+         WHEN mean_tok > 8.0 THEN 'mean_tok_len_high'
+         WHEN stop_ratio < 0.01 THEN 'stopword_ratio_low'
+         ELSE '' END AS drop_reason
+  FROM f
+)
+SELECT doc_id, n_chars, n_tokens, drop_reason, drop_reason = '' AS keep FROM r
 """,
         "lang_id": f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

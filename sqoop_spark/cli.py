@@ -171,6 +171,8 @@ def cmd_import(args) -> int:
             table,
             merge_mode=MergeMode(args.update_mode) if args.merge_key else None,
             salt_partitions=args.salt_partitions,
+            dedup_id_cols=(args.dedup_id_cols.split(",")
+                           if getattr(args, "dedup_id_cols", None) else None),
         )
     else:
         key_cols = tuple((args.merge_key or "repo,path").split(","))
@@ -182,6 +184,8 @@ def cmd_import(args) -> int:
             num_buckets=args.num_buckets,
             merge_mode=MergeMode(args.update_mode) if args.merge_key else None,
             salt_partitions=args.salt_partitions,
+            dedup_id_cols=(args.dedup_id_cols.split(",")
+                           if getattr(args, "dedup_id_cols", None) else None),
         )
 
     store = JobStore(args.job_store) if args.job else None
@@ -805,6 +809,11 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--incremental", choices=["append", "lastmodified"],
                      default="append")
     imp.add_argument("--check-column", default="event_seq")
+    imp.add_argument("--dedup-id-cols", metavar="COLS",
+                     help="comma list of event-identity columns: keep the "
+                          "first arrival per id before a blind append "
+                          "(at-least-once sources; no-op with --merge-key, "
+                          "whose newest-wins merge is already idempotent)")
     imp.add_argument("--last-value")
     imp.add_argument("--merge-key", help="comma list; enables merge-apply")
     imp.add_argument("--update-mode", default="upsert",

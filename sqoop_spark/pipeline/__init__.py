@@ -17,6 +17,7 @@ from sqoop_spark.pipeline.similarity import (  # noqa: F401
 )
 from sqoop_spark.pipeline.text import (  # noqa: F401
     doc_fingerprint,
+    filter_documents,
     lang_id,
     quality_score,
     token_count,

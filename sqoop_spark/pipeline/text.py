@@ -242,3 +242,54 @@ def doc_fingerprint(
     return sh.groupBy(F.col(id_col)).agg(
         F.min(F.sha2(F.col("_shingle"), 256)).alias("fingerprint")
     )
+
+
+def filter_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 50,
+    max_chars: int = 100_000,
+    min_tokens: int = 10,
+    min_mean_tok_len: float = 2.0,
+    max_mean_tok_len: float = 12.0,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """C4/Gopher-style quality gate: the composed keep/drop decision over
+    the quality_score features, as ONE scan projection (no join back —
+    the features are recomputed inline, which Catalyst collapses into the
+    same codegen stage; at 100 TB a join against a features table would
+    shuffle the corpus for nothing).
+
+    Returns every document with its features, a ``keep`` flag and a
+    ``drop_reason`` ('' when kept — the audit column a curation pipeline
+    ships so filtering is explainable and thresholds are tunable offline).
+    Thresholds follow the published heuristics (C4: length + stopword
+    presence; Gopher: mean-word-length window 2–10, doc length windows);
+    values here are the knobs, not the point.
+    """
+    t = F.col(text_col)
+    n_tokens = F.size(F.split(t, " "))
+    stop_hits = None
+    for w in STOPWORDS:
+        c = _count_occurrences(t, w)
+        stop_hits = c if stop_hits is None else (stop_hits + c)
+    n_chars = F.length(t)
+    mean_tok = n_chars / n_tokens
+    stop_ratio = stop_hits / n_tokens
+    reason = (
+        F.when(n_chars < min_chars, F.lit("too_short"))
+        .when(n_chars > max_chars, F.lit("too_long"))
+        .when(n_tokens < min_tokens, F.lit("too_few_tokens"))
+        .when(mean_tok < min_mean_tok_len, F.lit("mean_tok_len_low"))
+        .when(mean_tok > max_mean_tok_len, F.lit("mean_tok_len_high"))
+        .when(stop_ratio < min_stopword_ratio, F.lit("stopword_ratio_low"))
+        .otherwise(F.lit(""))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        reason.alias("drop_reason"),
+        (reason == "").alias("keep"),
+    )

@@ -597,3 +597,28 @@ def test_cli_export_incremental_and_changelog(spark, scratch, capsys):
             ["export", "--source", out1, "--target-table",
              os.path.join(scratch, "exp_out3"), "--since", "0"]
         )
+
+
+def test_cli_import_dedup_id_cols(spark, scratch, capsys):
+    """--dedup-id-cols: a redelivered (duplicated) source blind-appends
+    only one copy per event id."""
+    events = synthesize_change_events(spark, 500, batch_size=500)
+    dup = events.unionByName(events)
+    src = os.path.join(scratch, "dup_events")
+    dup.write.parquet(src)
+    target = os.path.join(scratch, "dup_lake")
+
+    rc = cli_main(
+        [
+            "import",
+            "--table", src,
+            "--target", target,
+            "--check-column", "event_seq",
+            "--dedup-id-cols", "event_seq",
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    from sqoop_spark.lake import LakeTable
+
+    assert LakeTable.load(spark, target).read().count() == 500

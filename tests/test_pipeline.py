@@ -876,3 +876,32 @@ def test_dedup_resolve_keep_policy(spark):
         (11, 10, False),
         (99, 99, True),
     }
+
+
+def test_filter_documents_reasons(spark):
+    """Every threshold branch of the quality gate fires, first-match-wins
+    order as documented; keep == (drop_reason == '')."""
+    from sqoop_spark.pipeline import filter_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+            (2, "x"),                                  # too_short
+            (3, "a b " * 30),                          # mean_tok_len_low (chars ok)
+            (4, "supercalifragilistic " * 10),         # mean_tok_len_high
+            (5, "zebra quartz " * 12),                 # stopword_ratio_low
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.drop_reason, r.keep)
+        for r in filter_documents(
+            docs, min_chars=20, min_tokens=5, min_mean_tok_len=3.0,
+            max_mean_tok_len=8.0, min_stopword_ratio=0.01,
+        ).collect()
+    }
+    assert got[1] == ("", True)
+    assert got[2] == ("too_short", False)
+    assert got[3] == ("mean_tok_len_low", False)
+    assert got[4] == ("mean_tok_len_high", False)
+    assert got[5] == ("stopword_ratio_low", False)
