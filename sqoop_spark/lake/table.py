@@ -505,7 +505,16 @@ class LakeTable:
                     self.schema(to_v).fields + [T.StructField("_change", T.StringType())]
                 ),
             )
-        old = self._read_state(from_version, changed).alias("o")
+        old = self._read_state(from_version, changed)
+        # Schema evolution between the versions: project the old state to
+        # the NEW schema (added columns backfill NULL, dropped columns
+        # vanish) so the diff always speaks the current schema — an added
+        # column then reports as 'update' wherever the new state is
+        # non-null, which is exactly the backfill a consumer must apply.
+        for f in self.schema(to_v).fields:
+            if f.name not in old.columns:
+                old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+        old = old.select(*schema_cols).alias("o")
         new = self._read_state(to_v, changed).alias("n")
         cond = None
         for k in key_cols:
