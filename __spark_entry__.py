@@ -684,6 +684,15 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features (duplicate-token share, top-token
+    share) — explode → map-side-combined (doc, token) count → per-doc
+    aggregate; DuckDB recomputes the identical ratios."""
+    from sqoop_spark.pipeline import repetition_score
+
+    return repetition_score(_docs(spark, sf_dir))
+
+
 def q_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outbound CDC: the row-level diff between the mid-replay snapshot and
     the final one (insert/update/delete change rows) via
@@ -792,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_policy": q_dedup_keep_policy,
         "snapshot_changelog": q_snapshot_changelog,
         "quality_filter": q_quality_filter,
+        "repetition": q_repetition,
     }
 
 
@@ -1487,6 +1497,20 @@ r AS (
   FROM f
 )
 SELECT doc_id, n_chars, n_tokens, drop_reason, drop_reason = '' AS keep FROM r
+""",
+        "repetition": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+agg AS (
+  SELECT doc_id, sum(c) AS n, max(c) AS mx, count(*) AS d
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       round(1.0 - CAST(d AS DOUBLE) / n, 6) AS dup_token_frac,
+       round(CAST(mx AS DOUBLE) / n, 6) AS top_token_frac
+FROM agg
 """,
         "lang_id": f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -21,6 +21,9 @@ with the subset that has meaning on a lake-native engine:
   list-databases     database dirs under a path, or the JDBC catalog
   import-all-tables  every table under a path minus --exclude-tables
                      (tool/ImportAllTablesTool.java)
+  history            snapshot audit of a lake table (manifest metadata)
+  maintain           compact / rewrite-small-files / expire-snapshots /
+                     remove-orphans
   bench              the replay benchmark at two parallelism levels
 
 Run as::

@@ -20,5 +20,6 @@ from sqoop_spark.pipeline.text import (  # noqa: F401
     filter_documents,
     lang_id,
     quality_score,
+    repetition_score,
     token_count,
 )

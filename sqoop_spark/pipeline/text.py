@@ -293,3 +293,37 @@ def filter_documents(
         reason.alias("drop_reason"),
         (reason == "").alias("keep"),
     )
+
+
+def repetition_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition features: the share of duplicate tokens and
+    the share taken by the single most frequent token — high values flag
+    the boilerplate/spam documents repetition filters drop.
+
+    Shape: explode → one map-side-combined count on (doc, token) → one
+    per-doc aggregate. The (doc, token) key is near-unique, so the first
+    groupBy's partial aggregation collapses almost everything before the
+    shuffle; no UDFs, no corpus-wide key (each doc's tokens stay
+    together only logically — the hash spread is uniform).
+    """
+    t = F.col(text_col)
+    tok = df.select(F.col(id_col), F.explode(F.split(t, " ")).alias("w"))
+    cnt = tok.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("_n"),
+            F.max("c").alias("_mx"),
+            F.count(F.lit(1)).alias("_d"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("int").alias("n_tokens"),
+            F.round(F.lit(1.0) - F.col("_d") / F.col("_n"), 6).alias(
+                "dup_token_frac"
+            ),
+            F.round(F.col("_mx") / F.col("_n"), 6).alias("top_token_frac"),
+        )
+    )

@@ -905,3 +905,26 @@ def test_filter_documents_reasons(spark):
     assert got[3] == ("mean_tok_len_low", False)
     assert got[4] == ("mean_tok_len_high", False)
     assert got[5] == ("stopword_ratio_low", False)
+
+
+def test_repetition_score_closed_form(spark):
+    """dup-token and top-token fractions on hand-computable docs."""
+    from sqoop_spark.pipeline import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 tokens, 1 distinct -> dup .75, top 1.0
+            (2, "a b c d"),          # all distinct -> dup 0, top .25
+            (3, "a a b b b c"),      # 6 tokens, 3 distinct -> dup .5, top .5
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_token_frac, r.top_token_frac)
+        for r in repetition_score(docs).collect()
+    }
+    assert got == {
+        1: (4, 0.75, 1.0),
+        2: (4, 0.0, 0.25),
+        3: (6, 0.5, 0.5),
+    }
