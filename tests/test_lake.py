@@ -211,7 +211,10 @@ def test_zone_map_stats_and_read_since(spark, scratch):
     assert len(pruned) < len(entries), "files wholly below the watermark skip"
     assert all(e["stats"]["seq"][1] > 19 for e in pruned)
 
-    got = sorted(r["seq"] for r in t.read_since("seq", 19).collect())
+    since = t.read_since("seq", 19)
+    # the physical scan itself opens only the pruned files
+    assert len(since.inputFiles()) == len(pruned)
+    got = sorted(r["seq"] for r in since.collect())
     assert got == list(range(20, 30))
     # upper-bounded window (the append-slice contract: > lo AND <= hi)
     got2 = sorted(r["seq"] for r in t.read_since("seq", 9, upper=19).collect())
@@ -441,3 +444,37 @@ def test_iter_changes_replicates_table(spark, scratch):
     for _v, diff in iter_changes(t, v_first, coalesce=True):
         apply_changes(state2, diff, ["k"])
     assert norm(state2) == want
+
+
+def test_read_since_randomized_matches_full_filter(spark, scratch):
+    """Randomized (seeded) batches + watermarks: the zone-map-pruned
+    read_since always equals the unpruned read().filter — pruning is an
+    optimization, never a semantics change."""
+    import random
+
+    rng = random.Random(7)
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("seq", T.LongType())]
+    )
+    t = LakeTable.create(
+        spark, f"{scratch}/zr", schema, ["k"], num_buckets=2,
+        properties={"order_column": "seq"},
+    )
+    seq = 0
+    for _commit in range(5):
+        n = rng.randint(1, 12)
+        rows = []
+        for _ in range(n):
+            # non-monotone within a commit, overlapping ranges across some
+            seq += rng.randint(1, 4)
+            rows.append((rng.randint(0, 30), seq))
+        rng.shuffle(rows)
+        t.append(spark.createDataFrame(rows, schema))
+    hi = seq
+    for w in (0, hi // 3, hi // 2, hi - 1, hi):
+        pruned = {tuple(r) for r in t.read_since("seq", w).collect()}
+        full = {
+            tuple(r)
+            for r in t.read().filter(F.col("seq") > F.lit(w)).collect()
+        }
+        assert pruned == full, f"watermark {w}"
