@@ -1,3 +1,7 @@
-from sqoop_spark.streaming.changelog import apply_changes, iter_changes  # noqa: F401
+from sqoop_spark.streaming.changelog import (  # noqa: F401
+    apply_changes,
+    follow_changes,
+    iter_changes,
+)
 from sqoop_spark.streaming.foreach import stream_apply  # noqa: F401
 from sqoop_spark.streaming.stateful import latest_state_stream  # noqa: F401

@@ -81,3 +81,42 @@ def apply_changes(target: dict, diff: DataFrame, key_cols: list[str]) -> dict:
         else:
             target[k] = {c: row[c] for c in diff.columns if c != "_change"}
     return target
+
+
+def follow_changes(
+    table: LakeTable,
+    job_store,
+    job: str,
+    apply_fn,
+    option_key: str = "changelog.last.version",
+) -> int:
+    """One resumable consumption pass: apply every content commit newer
+    than the consumer's saved watermark, then advance it.
+
+    The outbound mirror of ``sqoop job --exec``: the consumer's position
+    lives in the same JobStore as the inbound watermark, and crash-resume
+    has at-least-once semantics — ``apply_fn(version, diff)`` runs BEFORE
+    the watermark save, so a crash between apply and save re-delivers
+    that diff on the next pass. Diffs are idempotent to re-apply (one row
+    per key, ops are absolute states, as apply_changes shows), which
+    upgrades the loop to effectively-once — the same
+    fence-over-watermark layering the inbound side uses.
+
+    Returns the number of diffs applied. First call (no saved position)
+    starts from the current version: consumers bootstrap from a full
+    read, not from replaying all history.
+    """
+    opts = job_store.read(job)["options"]
+    current = table.current_version() or 0
+    last = opts.get(option_key)
+    if last is None:
+        job_store.update(job, **{option_key: current})
+        return 0
+    applied = 0
+    for v, diff in iter_changes(table, int(last), current):
+        apply_fn(v, diff)
+        applied += 1
+        job_store.update(job, **{option_key: v})
+    if current > int(last):
+        job_store.update(job, **{option_key: current})
+    return applied

@@ -478,3 +478,50 @@ def test_read_since_randomized_matches_full_filter(spark, scratch):
             for r in t.read().filter(F.col("seq") > F.lit(w)).collect()
         }
         assert pruned == full, f"watermark {w}"
+
+
+def test_follow_changes_resumable_consumer(spark, scratch):
+    """Resumable changelog consumer: bootstrap records the position
+    without replaying history; subsequent passes deliver exactly the new
+    commits and advance the JobStore watermark; an idle pass delivers
+    nothing."""
+    from sqoop_spark.cdc.checkpoint import JobStore
+    from sqoop_spark.streaming import apply_changes, follow_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, f"{scratch}/fc", schema, ["k"], num_buckets=2,
+        properties={"order_column": "seq"},
+    )
+    t.append(spark.createDataFrame([(1, 1, "a"), (2, 2, "b")], schema))
+    store = JobStore(f"{scratch}/fc_jobs")
+    store.create("consumer", {})
+
+    state: dict = {}
+    # bootstrap: no history replay, position = current
+    assert follow_changes(t, store, "consumer", lambda v, d: state) == 0
+    for r in t.read().collect():
+        state[(r.k,)] = {"k": r.k, "seq": r.seq, "v": r.v}
+
+    op_schema = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    t.append_delta(
+        spark.createDataFrame(
+            [(1, 10, "a2", "upsert"), (2, 11, "b", "delete")], op_schema
+        )
+    )
+    t.append(spark.createDataFrame([(5, 12, "e")], schema))
+
+    n = follow_changes(
+        t, store, "consumer", lambda v, d: apply_changes(state, d, ["k"])
+    )
+    assert n == 2
+    want = {(r.k,): {"k": r.k, "seq": r.seq, "v": r.v} for r in t.read().collect()}
+    assert state == want
+    # idle pass: nothing new, watermark already current
+    assert follow_changes(t, store, "consumer", lambda v, d: 1 / 0) == 0
