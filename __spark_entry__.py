@@ -693,6 +693,32 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_score(_docs(spark, sf_dir))
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing parity: dirty text (emails + NNN-NNN-NNNN phones) is
+    derived from the events table with SQL both engines compute
+    identically, then redact_pii replaces and counts — regex dialect
+    parity (Java vs RE2) is the thing under test."""
+    from sqoop_spark.pipeline import redact_pii
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dirty = ev.select(
+        F.col("event_id"),
+        F.concat(
+            F.lit("contact user"),
+            F.col("user_id").cast("string"),
+            F.lit("@mail"),
+            (F.col("user_id") % 7).cast("string"),
+            F.lit(".com or call 555-"),
+            F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" re "),
+            F.col("event_type"),
+        ).alias("text"),
+    )
+    return redact_pii(dirty, id_col="event_id")
+
+
 def q_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outbound CDC: the row-level diff between the mid-replay snapshot and
     the final one (insert/update/delete change rows) via
@@ -802,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changelog": q_snapshot_changelog,
         "quality_filter": q_quality_filter,
         "repetition": q_repetition,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -1497,6 +1524,27 @@ r AS (
   FROM f
 )
 SELECT doc_id, n_chars, n_tokens, drop_reason, drop_reason = '' AS keep FROM r
+""",
+        "pii_redact": """
+WITH dirty AS (
+  SELECT event_id,
+         'contact user' || CAST(user_id AS VARCHAR)
+           || '@mail' || CAST(user_id % 7 AS VARCHAR)
+           || '.com or call 555-'
+           || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0')
+           || '-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+           || ' re ' || event_type AS text
+  FROM events
+)
+SELECT event_id,
+  regexp_replace(
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+    '\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g') AS clean,
+  CAST(len(regexp_extract_all(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\\d{3}-\\d{3}-\\d{4}')) AS INT) AS n_phones
+FROM dirty
 """,
         "repetition": """
 WITH tok AS (

@@ -20,6 +20,7 @@ from sqoop_spark.pipeline.text import (  # noqa: F401
     filter_documents,
     lang_id,
     quality_score,
+    redact_pii,
     repetition_score,
     token_count,
 )

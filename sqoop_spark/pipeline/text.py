@@ -327,3 +327,40 @@ def repetition_score(
             F.round(F.col("_mx") / F.col("_n"), 6).alias("top_token_frac"),
         )
     )
+
+
+#: Conservative PII patterns — character classes and bounded quantifiers
+#: only, so Java regex (Spark) and RE2 (DuckDB) interpret them
+#: identically (no backreferences, no lookaround).
+PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_REGEX = r"\d{3}-\d{3}-\d{4}"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing as one scan projection: replace emails and
+    NNN-NNN-NNNN phone numbers with ``[EMAIL]``/``[PHONE]`` placeholders
+    and count what was removed (the audit numbers a curation pipeline
+    reports). Emails are replaced before phones so the two passes compose
+    deterministically; everything is JVM-side ``regexp_replace`` /
+    ``regexp_extract_all`` inside whole-stage codegen — the cheapest
+    possible shape for a 100 TB scrub pass, and the counts let the
+    pipeline alert on corpora with unexpected PII density instead of
+    silently rewriting them."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_REGEX, "[EMAIL]"),
+        PII_PHONE_REGEX,
+        "[PHONE]",
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_REGEX), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_REGEX), F.lit(0))).alias(
+            "n_phones"
+        ),
+    )

@@ -928,3 +928,27 @@ def test_repetition_score_closed_form(spark):
         2: (4, 0.0, 0.25),
         3: (6, 0.5, 0.5),
     }
+
+
+def test_redact_pii_closed_form(spark):
+    """Emails and phones replaced with placeholders; counts audit what
+    was removed; clean text untouched elsewhere."""
+    from sqoop_spark.pipeline import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail alice@example.com or bob.smith+x@sub.domain.org today"),
+            (2, "call 555-123-4567 and 555-000-9999"),
+            (3, "no pii here 12345"),
+            (4, "mix: c@d.io 111-222-3333"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.clean, r.n_emails, r.n_phones)
+        for r in redact_pii(docs).collect()
+    }
+    assert got[1] == ("mail [EMAIL] or [EMAIL] today", 2, 0)
+    assert got[2] == ("call [PHONE] and [PHONE]", 0, 2)
+    assert got[3] == ("no pii here 12345", 0, 0)
+    assert got[4] == ("mix: [EMAIL] [PHONE]", 1, 1)
