@@ -693,6 +693,22 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_score(_docs(spark, sf_dir))
 
 
+def q_repetition_2gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's n-gram repetition filters at n=2: duplicate-2-gram and
+    top-2-gram shares (non-distinct grams built JVM-side via
+    transform/sequence/slice); DuckDB rebuilds the same gram list with a
+    list comprehension. Docs with fewer than 2 tokens have no grams and
+    are absent — both engines agree."""
+    from sqoop_spark.pipeline import repetition_score
+
+    return repetition_score(_docs(spark, sf_dir), n=2).select(
+        "doc_id",
+        F.col("n_tokens").alias("n_grams"),
+        F.col("dup_token_frac").alias("dup_gram_frac"),
+        F.col("top_token_frac").alias("top_gram_frac"),
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing parity: dirty text (emails + NNN-NNN-NNNN phones) is
     derived from the events table with SQL both engines compute
@@ -828,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changelog": q_snapshot_changelog,
         "quality_filter": q_quality_filter,
         "repetition": q_repetition,
+        "repetition_2gram": q_repetition_2gram,
         "pii_redact": q_pii_redact,
     }
 
@@ -1524,6 +1541,24 @@ r AS (
   FROM f
 )
 SELECT doc_id, n_chars, n_tokens, drop_reason, drop_reason = '' AS keep FROM r
+""",
+        "repetition_2gram": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+1], ' ')
+                 for i in range(1, greatest(len(t) - 1, 0) + 1)]) AS w
+  FROM d
+),
+cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+agg AS (
+  SELECT doc_id, sum(c) AS n, max(c) AS mx, count(*) AS d
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS INT) AS n_grams,
+       round(1.0 - CAST(d AS DOUBLE) / n, 6) AS dup_gram_frac,
+       round(CAST(mx AS DOUBLE) / n, 6) AS top_gram_frac
+FROM agg
 """,
         "pii_redact": """
 WITH dirty AS (

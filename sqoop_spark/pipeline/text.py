@@ -296,20 +296,35 @@ def filter_documents(
 
 
 def repetition_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
 ) -> DataFrame:
-    """Gopher-style repetition features: the share of duplicate tokens and
-    the share taken by the single most frequent token — high values flag
-    the boilerplate/spam documents repetition filters drop.
+    """Gopher-style repetition features: the share of duplicate n-grams
+    and the share taken by the single most frequent n-gram — high values
+    flag the boilerplate/spam documents repetition filters drop (Gopher
+    uses exactly this family: duplicate word fraction plus top-2/3/4-gram
+    fractions).
 
-    Shape: explode → one map-side-combined count on (doc, token) → one
-    per-doc aggregate. The (doc, token) key is near-unique, so the first
+    Shape: explode → one map-side-combined count on (doc, gram) → one
+    per-doc aggregate. The (doc, gram) key is near-unique, so the first
     groupBy's partial aggregation collapses almost everything before the
-    shuffle; no UDFs, no corpus-wide key (each doc's tokens stay
-    together only logically — the hash spread is uniform).
+    shuffle; no UDFs, no corpus-wide key (each doc's grams stay
+    together only logically — the hash spread is uniform). ``n > 1``
+    builds NON-distinct n-grams JVM-side (``transform`` over a
+    ``sequence`` of start offsets — unlike the dedup shingles, which
+    deliberately dedupe).
     """
     t = F.col(text_col)
-    tok = df.select(F.col(id_col), F.explode(F.split(t, " ")).alias("w"))
+    if n == 1:
+        grams = F.split(t, " ")
+    else:
+        ngrams = F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        )
+        grams = F.when(F.size(F.split(t, " ")) >= n, ngrams).otherwise(
+            F.array().cast("array<string>")
+        )
+    tok = df.select(F.col(id_col), F.explode(grams).alias("w"))
     cnt = tok.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
     return (
         cnt.groupBy(id_col)

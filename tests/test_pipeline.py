@@ -952,3 +952,23 @@ def test_redact_pii_closed_form(spark):
     assert got[2] == ("call [PHONE] and [PHONE]", 0, 2)
     assert got[3] == ("no pii here 12345", 0, 0)
     assert got[4] == ("mix: [EMAIL] [PHONE]", 1, 1)
+
+
+def test_repetition_score_2gram_closed_form(spark):
+    """n=2: non-distinct bigrams; docs shorter than n have no grams and
+    are absent from the result."""
+    from sqoop_spark.pipeline import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # bigrams: ab ba ab ba -> 4 grams, 2 distinct
+            (2, "x y z"),       # xy yz -> all distinct
+            (3, "solo"),        # no bigrams -> absent
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_token_frac, r.top_token_frac)
+        for r in repetition_score(docs, n=2).collect()
+    }
+    assert got == {1: (4, 0.5, 0.5), 2: (2, 0.0, 0.5)}
