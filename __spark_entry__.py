@@ -698,7 +698,7 @@ def q_repetition_2gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-2-gram shares (non-distinct grams built JVM-side via
     transform/sequence/slice); DuckDB rebuilds the same gram list with a
     list comprehension. Docs with fewer than 2 tokens have no grams and
-    are absent — both engines agree."""
+    report zero counts (explode_outer / LEFT JOIN — both engines agree)."""
     from sqoop_spark.pipeline import repetition_score
 
     return repetition_score(_docs(spark, sf_dir), n=2).select(
@@ -1531,7 +1531,8 @@ f AS (
 ),
 r AS (
   SELECT doc_id, n_chars, n_tokens,
-    CASE WHEN n_chars < 200 THEN 'too_short'
+    CASE WHEN n_chars IS NULL THEN 'null_text'
+         WHEN n_chars < 200 THEN 'too_short'
          WHEN n_chars > 100000 THEN 'too_long'
          WHEN n_tokens < 40 THEN 'too_few_tokens'
          WHEN mean_tok < 3.0 THEN 'mean_tok_len_low'
@@ -1555,10 +1556,10 @@ agg AS (
   SELECT doc_id, sum(c) AS n, max(c) AS mx, count(*) AS d
   FROM cnt GROUP BY doc_id
 )
-SELECT doc_id, CAST(n AS INT) AS n_grams,
-       round(1.0 - CAST(d AS DOUBLE) / n, 6) AS dup_gram_frac,
-       round(CAST(mx AS DOUBLE) / n, 6) AS top_gram_frac
-FROM agg
+SELECT doc.doc_id, CAST(coalesce(n, 0) AS INT) AS n_grams,
+       coalesce(round(1.0 - CAST(d AS DOUBLE) / n, 6), 0.0) AS dup_gram_frac,
+       coalesce(round(CAST(mx AS DOUBLE) / n, 6), 0.0) AS top_gram_frac
+FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
 """,
         "pii_redact": """
 WITH dirty AS (
@@ -1590,10 +1591,10 @@ agg AS (
   SELECT doc_id, sum(c) AS n, max(c) AS mx, count(*) AS d
   FROM cnt GROUP BY doc_id
 )
-SELECT doc_id, CAST(n AS INT) AS n_tokens,
-       round(1.0 - CAST(d AS DOUBLE) / n, 6) AS dup_token_frac,
-       round(CAST(mx AS DOUBLE) / n, 6) AS top_token_frac
-FROM agg
+SELECT doc.doc_id, CAST(coalesce(n, 0) AS INT) AS n_tokens,
+       coalesce(round(1.0 - CAST(d AS DOUBLE) / n, 6), 0.0) AS dup_token_frac,
+       coalesce(round(CAST(mx AS DOUBLE) / n, 6), 0.0) AS top_token_frac
+FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
 """,
         "lang_id": f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

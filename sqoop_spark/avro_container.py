@@ -248,6 +248,12 @@ def write_avro_container(
     schema = df.schema
     avro_schema = avro_schema_for(schema)
     os.makedirs(path, exist_ok=True)
+    # Overwrite semantics must match the JVM writer's mode("overwrite"):
+    # a re-export with fewer partitions would otherwise leave stale
+    # part-NNNNN.avro files that read_avro_container merges in.
+    for name in os.listdir(path):
+        if name.endswith(".avro") or name == "_SUCCESS":
+            os.unlink(os.path.join(path, name))
     schema_json = json.dumps(avro_schema)
 
     def run(rows):

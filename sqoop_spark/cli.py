@@ -715,6 +715,10 @@ def cmd_import_all_tables(args) -> int:
     """Iterate listTables() minus --exclude-tables (ImportAllTablesTool).
     With --connect over an embedded database, tables come from the DB-API
     catalog and each imports through the partitioned DB-API reader."""
+    if not getattr(args, "connect", None) and not args.path:
+        raise SystemExit(
+            "import-all-tables: one of --path or --connect is required"
+        )
     spark = _session(args)
     exclude = set((args.exclude_tables or "").split(","))
     done = {}
@@ -949,9 +953,13 @@ def build_parser() -> argparse.ArgumentParser:
     ld.set_defaults(fn=cmd_list_databases)
 
     iat = sub.add_parser("import-all-tables")
-    iat.add_argument("--path", required=True)
+    iat.add_argument("--path", help="lake root (or use --connect)")
     iat.add_argument("--warehouse-dir", required=True)
     iat.add_argument("--exclude-tables")
+    iat.add_argument("--connect", help="jdbc:... URL — import every table "
+                     "from the DB-API catalog (embedded databases)")
+    iat.add_argument("--username")
+    iat.add_argument("--password")
     iat.set_defaults(fn=cmd_import_all_tables)
 
     bn = sub.add_parser("bench")

@@ -193,6 +193,13 @@ class LakeTable:
         ]
         return max(versions) if versions else None
 
+    def manifest_exists(self, version: int) -> bool:
+        """True when ``version``'s manifest is still on disk (or cached) —
+        False for never-committed or expire_snapshots-removed versions."""
+        return version in self._manifest_cache or os.path.exists(
+            os.path.join(self.manifest_dir, f"v{version:08d}.json")
+        )
+
     def manifest(self, version: int | None = None) -> dict:
         v = version if version is not None else self.current_version()
         if v is None:
@@ -422,9 +429,15 @@ class LakeTable:
         — O(new data), not O(table). At 100 TB this is the difference
         between an incremental sync and a full scan. (On hash-bucketed
         merge tables every file spans the whole order range, so zone maps
-        cannot prune there; with unresolved MoR deltas a per-file subset
-        cannot be key-resolved, and the read falls back to a full
-        resolve + filter — correctness first.)"""
+        cannot prune there.)
+
+        Unmerged MoR deltas are handled at BUCKET granularity: a delta
+        file can rewrite or delete keys anywhere in its bucket, so that
+        bucket must be key-resolved whole before the watermark filter —
+        but ONLY that bucket. Delta-free buckets keep the zone-map file
+        skip. A lagging compactor therefore costs O(delta buckets), not
+        O(table): the incremental consumer never degrades to a full
+        resolve just because one bucket has a pending delta."""
         from sqoop_spark.cdc.watermark import typed_lit
 
         if column not in self.schema(version).fieldNames():
@@ -436,10 +449,15 @@ class LakeTable:
         if upper is not None:
             pred = pred & (F.col(column) <= typed_lit(upper, dtype))
         entries = self._entries(version)
-        if any(e.get("delta") for e in entries):
-            return self.read(version).filter(pred)
-        pruned = self.prune_entries(entries, column, lower=last_value, upper=upper)
-        return self._read_files(pruned, version).filter(pred)
+        delta_buckets = {e["bucket"] for e in entries if e.get("delta")}
+        clean = [e for e in entries if e["bucket"] not in delta_buckets]
+        pruned = self.prune_entries(clean, column, lower=last_value, upper=upper)
+        out = self._read_files(pruned, version).filter(pred)
+        if delta_buckets:
+            out = out.unionByName(
+                self._read_state(version, delta_buckets).filter(pred)
+            )
+        return out
 
     def _read_state(self, version: int | None, buckets: set[int] | None) -> DataFrame:
         """Logical state of ``version`` restricted to ``buckets`` (all when
@@ -475,7 +493,7 @@ class LakeTable:
         to_v = to_version if to_version is not None else self.current_version()
         cur = self.current_version() or 0
         for v in (from_version, to_v):
-            if not (1 <= v <= cur):
+            if not (1 <= v <= cur) or not self.manifest_exists(v):
                 raise EngineError(
                     f"changes_between: version {v} not in [1, {cur}] "
                     "(expired or never committed)"

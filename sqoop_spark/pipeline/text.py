@@ -278,7 +278,10 @@ def filter_documents(
     mean_tok = n_chars / n_tokens
     stop_ratio = stop_hits / n_tokens
     reason = (
-        F.when(n_chars < min_chars, F.lit("too_short"))
+        # NULL text makes every threshold comparison NULL, which would fall
+        # through to the keep branch — gate it explicitly first.
+        F.when(t.isNull(), F.lit("null_text"))
+        .when(n_chars < min_chars, F.lit("too_short"))
         .when(n_chars > max_chars, F.lit("too_long"))
         .when(n_tokens < min_tokens, F.lit("too_few_tokens"))
         .when(mean_tok < min_mean_tok_len, F.lit("mean_tok_len_low"))
@@ -324,22 +327,31 @@ def repetition_score(
         grams = F.when(F.size(F.split(t, " ")) >= n, ngrams).otherwise(
             F.array().cast("array<string>")
         )
-    tok = df.select(F.col(id_col), F.explode(grams).alias("w"))
+    # explode_outer keeps documents with no grams (shorter than n tokens,
+    # or NULL text) as a single NULL-gram row, so every input doc appears
+    # in the result with zero counts instead of silently vanishing.
+    tok = df.select(F.col(id_col), F.explode_outer(grams).alias("w"))
     cnt = tok.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    c0 = F.when(F.col("w").isNull(), F.lit(0)).otherwise(F.col("c"))
     return (
         cnt.groupBy(id_col)
         .agg(
-            F.sum("c").alias("_n"),
-            F.max("c").alias("_mx"),
-            F.count(F.lit(1)).alias("_d"),
+            F.sum(c0).alias("_n"),
+            F.max(c0).alias("_mx"),
+            F.count(F.when(F.col("w").isNotNull(), F.lit(1))).alias("_d"),
         )
         .select(
             F.col(id_col),
             F.col("_n").cast("int").alias("n_tokens"),
-            F.round(F.lit(1.0) - F.col("_d") / F.col("_n"), 6).alias(
-                "dup_token_frac"
-            ),
-            F.round(F.col("_mx") / F.col("_n"), 6).alias("top_token_frac"),
+            F.when(
+                F.col("_n") > 0,
+                F.round(F.lit(1.0) - F.col("_d") / F.col("_n"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_token_frac"),
+            F.when(F.col("_n") > 0, F.round(F.col("_mx") / F.col("_n"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("top_token_frac"),
         )
     )
 

@@ -166,8 +166,17 @@ def write_avro(df: DataFrame, path: str, compression: str | None = None) -> None
             writer = writer.option("compression", compression)
         writer.save(path)
         return
-    except Exception:  # pragma: no cover - depends on spark-avro jar
-        pass
+    except Exception as exc:  # pragma: no cover - depends on spark-avro jar
+        # Fall back ONLY when the JVM says the avro data source is absent
+        # (pip-installed pyspark without the spark-avro jar). Any other
+        # failure — bad path, schema, permissions, a genuine write error —
+        # must surface, not be silently retried with a different writer.
+        msg = str(exc)
+        if not (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or ("Failed to find" in msg and "avro" in msg.lower())
+        ):
+            raise
     from sqoop_spark.avro_container import write_avro_container
 
     codec = {None: "null", "deflate": "deflate", "uncompressed": "null"}.get(

@@ -59,11 +59,22 @@ def iter_changes(
             f"iter_changes: version range [{from_version}, {to_v}] not "
             f"within committed [1, {current}]"
         )
+    if not table.manifest_exists(from_version):
+        raise EngineError(
+            f"iter_changes: version {from_version} expired "
+            "(removed by expire_snapshots) — consumer must re-bootstrap"
+        )
     if coalesce:
         if to_v > from_version:
             yield to_v, table.changes_between(from_version, to_v)
         return
     for v in range(from_version + 1, to_v + 1):
+        if not table.manifest_exists(v) or not table.manifest_exists(v - 1):
+            raise EngineError(
+                f"iter_changes: version {v if table.manifest_exists(v - 1) else v - 1} "
+                "expired mid-range — re-run with coalesce=True from a live "
+                "version or re-bootstrap"
+            )
         if table.manifest(v)["operation"] not in _CONTENT_OPS:
             continue
         yield v, table.changes_between(v - 1, v)
@@ -104,12 +115,25 @@ def follow_changes(
 
     Returns the number of diffs applied. First call (no saved position)
     starts from the current version: consumers bootstrap from a full
-    read, not from replaying all history.
+    read, not from replaying all history. A saved position that is no
+    longer a usable diff base — 0 (bootstrapped before the first commit)
+    or expired by expire_snapshots — re-bootstraps the same way: the
+    watermark jumps to the current version with no diffs delivered, and
+    the consumer must re-sync with a full read (a 0 return with an
+    advanced saved version is that signal).
     """
     opts = job_store.read(job)["options"]
     current = table.current_version() or 0
     last = opts.get(option_key)
-    if last is None:
+    # Re-bootstrap whenever the saved position is unusable as a diff base:
+    # never saved, saved before the table had any commit (version 0), or
+    # expired by expire_snapshots. Bootstrap = start from the current
+    # version (full read, not history replay) — same as the first call.
+    if (
+        last is None
+        or int(last) < 1
+        or (current >= 1 and not table.manifest_exists(int(last)))
+    ):
         job_store.update(job, **{option_key: current})
         return 0
     applied = 0

@@ -141,6 +141,25 @@ def test_avro_container_roundtrip(spark, scratch, codec):
     assert sorted(map(norm, got)) == sorted(map(norm, rows))
 
 
+def test_avro_container_overwrite_clears_stale_parts(spark, scratch):
+    """Re-exporting into an existing path with fewer partitions must not
+    leave stale part-NNNNN.avro files that a reader would merge in —
+    overwrite semantics match the JVM writer's mode('overwrite')."""
+    import os
+
+    from sqoop_spark.avro_container import read_avro_container, write_avro_container
+
+    path = f"{scratch}/ovr"
+    write_avro_container(spark.range(30).repartition(3), path, convert=False)
+    assert len([p for p in os.listdir(path) if p.endswith(".avro")]) == 3
+
+    write_avro_container(spark.range(5).repartition(1), path, convert=False)
+    parts = [p for p in os.listdir(path) if p.endswith(".avro")]
+    assert parts == ["part-00000.avro"]
+    _, rows = read_avro_container(path)
+    assert sorted(r[0] for r in rows) == list(range(5))
+
+
 def test_avro_container_applies_toavro_conversions(spark, scratch):
     """convert=True runs avro_record_frame: timestamps land as epoch
     millis, decimals as padded plain strings, names cleaned — the file

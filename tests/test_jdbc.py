@@ -555,6 +555,27 @@ def test_cli_import_export_sqlite_end_to_end(spark, sqlite_db, tmp_path, capsys)
     assert (n, mx) == (21, 199)
 
 
+def test_cli_import_all_tables_connect(spark, sqlite_db, tmp_path, capsys):
+    """import-all-tables --connect (round-3 ADVICE: the CLI branch was
+    unreachable — the subparser lacked --connect): every table from the
+    DB-API catalog imports into the warehouse dir; --path is optional
+    when --connect is given, and omitting both is a clear error."""
+    from sqoop_spark.cli import main as cli_main
+
+    wh = str(tmp_path / "wh_all")
+    rc = cli_main([
+        "import-all-tables", "--connect", f"jdbc:sqlite:{sqlite_db}",
+        "--warehouse-dir", wh,
+    ])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip())
+    assert got == {"repos": 200}
+    assert spark.read.parquet(os.path.join(wh, "repos")).count() == 200
+
+    with pytest.raises(SystemExit, match="one of --path or --connect"):
+        cli_main(["import-all-tables", "--warehouse-dir", wh])
+
+
 def test_cli_import_sqlite_table_mode_single_split_warning(spark, sqlite_db, tmp_path, capsys):
     """Table-mode --connect without --split-by: single-split fallback with
     a warning (round-2 ADVICE), not the query-mode error."""

@@ -239,8 +239,9 @@ def test_prune_entries_fail_open_without_stats(spark, scratch):
 
 
 def test_read_since_mor_fallback(spark, scratch):
-    """With unresolved MoR deltas a per-file subset cannot be key-resolved:
-    read_since must fall back to full resolve + filter and still match."""
+    """With unresolved MoR deltas a bucket cannot be read as a per-file
+    subset: read_since must key-resolve the delta buckets and still match
+    the logical filter semantics (newest wins, deletes drop)."""
     schema = T.StructType(
         [
             T.StructField("k", T.LongType()),
@@ -261,6 +262,69 @@ def test_read_since_mor_fallback(spark, scratch):
     t.append_delta(delta)
     got = {(r.k, r.seq, r.v) for r in t.read_since("seq", 5).collect()}
     assert got == {(1, 10, "a2")}
+
+
+def test_read_since_mor_bucket_granular(spark, scratch):
+    """An unmerged delta in ONE bucket must not degrade the incremental
+    read to a full-table resolve: only the delta bucket's files open in
+    full; delta-free buckets keep the zone-map file skip. (The lagging-
+    compactor scale edge: O(delta buckets), not O(table).)"""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, f"{scratch}/zmbg", schema, ["k"], num_buckets=2,
+        properties={"order_column": "seq"},
+    )
+    # three commits with disjoint seq ranges; keys land in both buckets
+    for lo in (0, 10, 20):
+        rows = [(lo + i, lo + i, f"v{lo + i}") for i in range(10)]
+        t.append(spark.createDataFrame(rows, schema), batch_id=lo)
+
+    # pick two keys that hash into bucket 0 for the delta
+    kb = {
+        r.k: r.b
+        for r in spark.createDataFrame([(k,) for k in range(30)], "k long")
+        .select("k", t.bucket_expr().alias("b"))
+        .collect()
+    }
+    delta_keys = [k for k, b in kb.items() if b == 0][:2]
+    assert delta_keys, "fixture must produce bucket-0 keys"
+    delta = spark.createDataFrame(
+        [(k, 100 + k, "new", "upsert") for k in delta_keys],
+        T.StructType(schema.fields + [T.StructField("op", T.StringType())]),
+    )
+    t.append_delta(delta)
+
+    entries = t.manifest()["files"]
+    bucket0 = [e for e in entries if e["bucket"] == 0]
+    clean1 = [e for e in entries if e["bucket"] == 1]
+    pruned1 = t.prune_entries(clean1, "seq", lower=19)
+    assert len(pruned1) < len(clean1), "clean bucket must still zone-map-prune"
+
+    since = t.read_since("seq", 19)
+    opened = since.inputFiles()
+
+    def tail(p):  # "<commit-uuid>/_bucket=K/part-...": unique per file
+        return "/".join(p.replace("\\", "/").split("/")[-3:])
+
+    # exactly: all of the delta bucket (resolve needs every file) plus the
+    # zone-map-surviving files of the clean bucket — strictly fewer than all
+    assert len(opened) == len(bucket0) + len(pruned1)
+    assert len(opened) < len(entries)
+    opened_names = {tail(p) for p in opened}
+    assert opened_names == {tail(e["path"]) for e in bucket0} | {
+        tail(e["path"]) for e in pruned1
+    }
+
+    # value correctness: equals the unpruned logical read + filter
+    expect = {tuple(r) for r in t.read().filter("seq > 19").collect()}
+    got = {tuple(r) for r in since.collect()}
+    assert got == expect and got, "bucket-granular read must match full resolve"
 
 
 def test_changes_between_snapshots(spark, scratch):
@@ -293,6 +357,77 @@ def test_changes_between_snapshots(spark, scratch):
     # identical versions: metadata-only empty diff
     assert t.changes_between(3, 3).count() == 0
     assert t.changes_between(2, 2).count() == 0
+
+
+def test_changes_between_bucket_prune_files_opened(spark, scratch):
+    """Plan evidence for the manifest-diff prune: files of buckets whose
+    manifest file set is identical in both versions never appear in the
+    diff's scan — the changelog join costs O(changed buckets)."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, f"{scratch}/clp", schema, ["k"], num_buckets=4,
+        properties={"order_column": "seq"},
+    )
+    base = [(i, i, f"v{i}") for i in range(1, 33)]
+    t.append(spark.createDataFrame(base, schema))  # v2: files in all buckets
+
+    # merge-touch only the bucket of k=1 (CoW rewrites whole buckets)
+    kb = {
+        r.k: r.b
+        for r in spark.createDataFrame([(k,) for k in range(1, 33)], "k long")
+        .select("k", t.bucket_expr().alias("b"))
+        .collect()
+    }
+    hot_bucket = kb[1]
+    hot_keys = [k for k, b in kb.items() if b == hot_bucket][:3]
+    upd = spark.createDataFrame(
+        [(k, 1000 + k, "upd", "upsert") for k in hot_keys],
+        T.StructType(schema.fields + [T.StructField("op", T.StringType())]),
+    )
+    t.append_delta(upd)  # v3: only hot_bucket gains a delta file
+
+    diff = t.changes_between(2, 3)
+
+    def tail(p):  # "<commit-uuid>/_bucket=K/part-...": unique per file
+        return "/".join(p.replace("\\", "/").split("/")[-3:])
+
+    opened = {tail(p) for p in diff.inputFiles()}
+    untouched = {
+        tail(e["path"])
+        for e in t.manifest(3)["files"]
+        if e["bucket"] != hot_bucket
+    }
+    assert opened, "diff must read the changed bucket"
+    assert not opened & untouched, (
+        "untouched buckets' files must never appear in the changelog scan"
+    )
+    got = {(r.k, r._change, r.seq) for r in diff.collect()}
+    assert got == {(k, "update", 1000 + k) for k in hot_keys}
+
+
+def test_changes_between_expired_version_raises(spark, scratch):
+    """A version removed by expire_snapshots must fail the diff with the
+    engine's 'expired' error, not a raw FileNotFoundError."""
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("seq", T.LongType())]
+    )
+    t = LakeTable.create(
+        spark, f"{scratch}/clx", schema, ["k"], num_buckets=1,
+        properties={"order_column": "seq"},
+    )
+    for i in range(5):
+        t.append(spark.createDataFrame([(i, i)], schema))
+    t.expire_snapshots(keep_last=2)
+    live = t.current_version()
+    assert not t.manifest_exists(2)
+    with pytest.raises(EngineError, match="expired"):
+        t.changes_between(2, live)
 
 
 def test_rewrite_small_files(spark, scratch):
@@ -525,3 +660,69 @@ def test_follow_changes_resumable_consumer(spark, scratch):
     assert state == want
     # idle pass: nothing new, watermark already current
     assert follow_changes(t, store, "consumer", lambda v, d: 1 / 0) == 0
+
+
+def test_follow_changes_bootstrap_on_empty_table(spark, scratch):
+    """Bootstrapping against a table with no commits saves position 0;
+    the NEXT pass must re-bootstrap to the then-current version instead
+    of crashing in iter_changes (from_version >= 1 contract)."""
+    from sqoop_spark.cdc.checkpoint import JobStore
+    from sqoop_spark.streaming import follow_changes
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("seq", T.LongType())]
+    )
+    t = LakeTable(spark, f"{scratch}/fce")
+    store = JobStore(f"{scratch}/fce_jobs")
+    store.create("consumer", {})
+    # table does not exist yet -> current_version() is None -> position 0
+    assert follow_changes(t, store, "consumer", lambda v, d: 1 / 0) == 0
+    assert store.read("consumer")["options"]["changelog.last.version"] == 0
+
+    LakeTable.create(
+        spark, f"{scratch}/fce", schema, ["k"], num_buckets=1,
+        properties={"order_column": "seq"},
+    )
+    t.append(spark.createDataFrame([(1, 1)], schema))
+    # saved 0 is not a usable diff base: re-bootstrap, no crash, no diffs
+    assert follow_changes(t, store, "consumer", lambda v, d: 1 / 0) == 0
+    assert (
+        store.read("consumer")["options"]["changelog.last.version"]
+        == t.current_version()
+    )
+    # and from here the loop works normally
+    t.append(spark.createDataFrame([(2, 2)], schema))
+    seen = []
+    assert follow_changes(t, store, "consumer", lambda v, d: seen.append(v)) == 1
+    assert seen == [t.current_version()]
+
+
+def test_follow_changes_expired_position_rebootstraps(spark, scratch):
+    """A consumer whose saved version was removed by expire_snapshots
+    re-bootstraps to current (signalled by 0 diffs + advanced watermark)
+    instead of raising a raw FileNotFoundError."""
+    from sqoop_spark.cdc.checkpoint import JobStore
+    from sqoop_spark.streaming import follow_changes, iter_changes
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("seq", T.LongType())]
+    )
+    t = LakeTable.create(
+        spark, f"{scratch}/fcx", schema, ["k"], num_buckets=1,
+        properties={"order_column": "seq"},
+    )
+    t.append(spark.createDataFrame([(1, 1)], schema))  # v2
+    store = JobStore(f"{scratch}/fcx_jobs")
+    store.create("consumer", {"changelog.last.version": 2})
+    for i in range(2, 6):
+        t.append(spark.createDataFrame([(i, i)], schema))
+    t.expire_snapshots(keep_last=2)
+    assert not t.manifest_exists(2)
+
+    with pytest.raises(EngineError, match="expired"):
+        list(iter_changes(t, 2, t.current_version()))
+    assert follow_changes(t, store, "consumer", lambda v, d: 1 / 0) == 0
+    assert (
+        store.read("consumer")["options"]["changelog.last.version"]
+        == t.current_version()
+    )

@@ -907,6 +907,26 @@ def test_filter_documents_reasons(spark):
     assert got[5] == ("stopword_ratio_low", False)
 
 
+def test_filter_documents_null_text_dropped(spark):
+    """NULL text must not slip through the gate via NULL comparisons —
+    it gets an explicit null_text drop reason."""
+    from sqoop_spark.pipeline import filter_documents
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox jumps over the lazy dog at home")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.drop_reason, r.keep)
+        for r in filter_documents(
+            docs, min_chars=20, min_tokens=5, min_mean_tok_len=3.0,
+            max_mean_tok_len=8.0, min_stopword_ratio=0.01,
+        ).collect()
+    }
+    assert got[1] == ("null_text", False)
+    assert got[2] == ("", True)
+
+
 def test_repetition_score_closed_form(spark):
     """dup-token and top-token fractions on hand-computable docs."""
     from sqoop_spark.pipeline import repetition_score
@@ -955,15 +975,16 @@ def test_redact_pii_closed_form(spark):
 
 
 def test_repetition_score_2gram_closed_form(spark):
-    """n=2: non-distinct bigrams; docs shorter than n have no grams and
-    are absent from the result."""
+    """n=2: non-distinct bigrams; docs shorter than n report zero grams
+    and zero fractions instead of vanishing from the result."""
     from sqoop_spark.pipeline import repetition_score
 
     docs = spark.createDataFrame(
         [
             (1, "a b a b a"),   # bigrams: ab ba ab ba -> 4 grams, 2 distinct
             (2, "x y z"),       # xy yz -> all distinct
-            (3, "solo"),        # no bigrams -> absent
+            (3, "solo"),        # no bigrams -> zero counts, still present
+            (4, None),          # NULL text -> zero counts, still present
         ],
         "doc_id LONG, text STRING",
     )
@@ -971,4 +992,9 @@ def test_repetition_score_2gram_closed_form(spark):
         r.doc_id: (r.n_tokens, r.dup_token_frac, r.top_token_frac)
         for r in repetition_score(docs, n=2).collect()
     }
-    assert got == {1: (4, 0.5, 0.5), 2: (2, 0.0, 0.5)}
+    assert got == {
+        1: (4, 0.5, 0.5),
+        2: (2, 0.0, 0.5),
+        3: (0, 0.0, 0.0),
+        4: (0, 0.0, 0.0),
+    }
