@@ -53,6 +53,41 @@ def _session(args) -> SparkSession:
     )
 
 
+#: Environment fallback for the connection password — the CLI analog of
+#: the reference's non-plaintext credential paths.
+PASSWORD_ENV_VAR = "SQOOP_SPARK_PASSWORD"
+
+
+def resolve_password(args) -> str | None:
+    """Credential resolution for --connect paths, mirroring the reference's
+    precedence (tool/BaseSqoopTool.java:87 PASSWORD_PATH_ARG +
+    CredentialsUtil.fetchPassword): an explicit ``--password`` wins but
+    draws the reference's insecurity warning; ``--password-file`` reads the
+    secret from disk (one trailing newline stripped — the file-was-edited
+    footgun the reference documents), warning when the file is readable by
+    group/others; otherwise $SQOOP_SPARK_PASSWORD, else None."""
+    pw = getattr(args, "password", None)
+    if pw is not None:
+        print(
+            "WARNING: Setting your password on the command-line is insecure. "
+            "Consider using --password-file instead.",
+            file=sys.stderr,
+        )
+        return pw
+    pf = getattr(args, "password_file", None)
+    if pf:
+        mode = os.stat(pf).st_mode & 0o777
+        if mode & 0o077:
+            print(
+                f"WARNING: password file {pf} is readable by group/others "
+                f"(mode {mode:o}); chmod 600 recommended.",
+                file=sys.stderr,
+            )
+        with open(pf) as f:
+            return f.read().rstrip("\r\n")
+    return os.environ.get(PASSWORD_ENV_VAR)
+
+
 def _load_source(spark: SparkSession, args):
     """--table (a parquet/lake path) or --query (free-form SQL); with
     --connect jdbc:... the table/query is read over JDBC with the
@@ -599,6 +634,7 @@ def cmd_eval(args) -> int:
     reference's update-count report (EvalSqlTool.java:68-83:
     'N row(s) updated.')."""
     if getattr(args, "connect", None):
+        from sqoop_spark.errors import EngineError
         from sqoop_spark.sources.jdbc import (
             dbapi_factory_for_url,
             eval_statement,
@@ -608,6 +644,26 @@ def cmd_eval(args) -> int:
         if not is_result_set_statement(args.e):
             count = eval_statement(dbapi_factory_for_url(args.connect), args.e)
             print(f"{0 if count is None else count} row(s) updated.")
+            return 0
+        # Result-set statement against an embedded database: fetch through
+        # the in-process DB-API driver (no vendor JDBC jar, no Spark session
+        # — the reference's eval is likewise a driver-side one-connection
+        # tool, EvalSqlTool.java:55). Non-embedded URLs fall through to
+        # Spark's JDBC reader below.
+        try:
+            factory = dbapi_factory_for_url(args.connect)
+        except EngineError:
+            factory = None
+        if factory is not None:
+            conn = factory()
+            try:
+                cur = conn.cursor()
+                cur.execute(args.e)
+                cols = [d[0] for d in cur.description or []]
+                for rec in cur.fetchall():
+                    print(json.dumps(dict(zip(cols, rec)), default=str))
+            finally:
+                conn.close()
             return 0
     spark = _session(args)
     if getattr(args, "connect", None):
@@ -841,6 +897,7 @@ def build_parser() -> argparse.ArgumentParser:
                      "splitter-driven predicates instead of parquet/lake")
     imp.add_argument("--username")
     imp.add_argument("--password")
+    imp.add_argument("--password-file", help="read the connection password from this file (chmod 600; one trailing newline stripped)")
     imp.add_argument("--jdbc-driver", help="JDBC driver class name")
     imp.add_argument("--as-sequencefile", action="store_true",
                      help="refused with an explanation (legacy layout)")
@@ -880,6 +937,7 @@ def build_parser() -> argparse.ArgumentParser:
                      "Spark's JDBC writer")
     exp.add_argument("--username")
     exp.add_argument("--password")
+    exp.add_argument("--password-file", help="read the connection password from this file (chmod 600; one trailing newline stripped)")
     exp.add_argument("--records-per-statement", type=int, default=100,
                      help="sqoop.export.records.per.statement analog")
     exp.add_argument("--since", metavar="WATERMARK",
@@ -936,6 +994,7 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--connect", help="jdbc:... URL — run against the database")
     ev.add_argument("--username")
     ev.add_argument("--password")
+    ev.add_argument("--password-file", help="read the connection password from this file (chmod 600; one trailing newline stripped)")
     ev.set_defaults(fn=cmd_eval)
 
     lt = sub.add_parser("list-tables")
@@ -943,6 +1002,7 @@ def build_parser() -> argparse.ArgumentParser:
     lt.add_argument("--connect", help="jdbc:... URL (information_schema)")
     lt.add_argument("--username")
     lt.add_argument("--password")
+    lt.add_argument("--password-file", help="read the connection password from this file (chmod 600; one trailing newline stripped)")
     lt.set_defaults(fn=cmd_list_tables)
 
     ld = sub.add_parser("list-databases")
@@ -950,6 +1010,7 @@ def build_parser() -> argparse.ArgumentParser:
     ld.add_argument("--connect", help="jdbc:... URL (information_schema)")
     ld.add_argument("--username")
     ld.add_argument("--password")
+    ld.add_argument("--password-file", help="read the connection password from this file (chmod 600; one trailing newline stripped)")
     ld.set_defaults(fn=cmd_list_databases)
 
     iat = sub.add_parser("import-all-tables")
@@ -960,6 +1021,7 @@ def build_parser() -> argparse.ArgumentParser:
                      "from the DB-API catalog (embedded databases)")
     iat.add_argument("--username")
     iat.add_argument("--password")
+    iat.add_argument("--password-file", help="read the connection password from this file (chmod 600; one trailing newline stripped)")
     iat.set_defaults(fn=cmd_import_all_tables)
 
     bn = sub.add_parser("bench")
@@ -995,6 +1057,8 @@ def main(argv: Sequence[str] | None = None) -> int:
         list(argv) if argv is not None else sys.argv[1:]
     )
     args = build_parser().parse_args(argv)
+    if hasattr(args, "password") or hasattr(args, "password_file"):
+        args.password = resolve_password(args)
     return args.fn(args)
 
 

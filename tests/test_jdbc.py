@@ -555,6 +555,56 @@ def test_cli_import_export_sqlite_end_to_end(spark, sqlite_db, tmp_path, capsys)
     assert (n, mx) == (21, 199)
 
 
+def test_password_file_resolution(tmp_path, capsys, monkeypatch):
+    """Credential parity with the reference's --password-file path
+    (tool/BaseSqoopTool.java:87): file contents win over the env fallback,
+    one trailing newline strips, loose file modes warn, and a plaintext
+    --password draws the reference's insecurity warning."""
+    from sqoop_spark.cli import PASSWORD_ENV_VAR, build_parser, resolve_password
+
+    pf = tmp_path / "pw.txt"
+    pf.write_text("s3cret\n")
+    os.chmod(pf, 0o600)
+    args = build_parser().parse_args(
+        ["eval", "-e", "SELECT 1", "--password-file", str(pf)]
+    )
+    assert resolve_password(args) == "s3cret"
+    err = capsys.readouterr().err
+    assert "insecure" not in err and "chmod" not in err
+
+    os.chmod(pf, 0o644)  # group/other-readable: warn, still resolve
+    assert resolve_password(args) == "s3cret"
+    assert "chmod 600 recommended" in capsys.readouterr().err
+
+    args2 = build_parser().parse_args(
+        ["eval", "-e", "SELECT 1", "--password", "p", "--password-file", str(pf)]
+    )
+    assert resolve_password(args2) == "p"
+    assert "insecure" in capsys.readouterr().err
+
+    monkeypatch.setenv(PASSWORD_ENV_VAR, "envpw")
+    args3 = build_parser().parse_args(["eval", "-e", "SELECT 1"])
+    assert resolve_password(args3) == "envpw"
+    # file beats env when both are present
+    assert resolve_password(args) == "s3cret"
+
+
+def test_cli_eval_with_password_file_end_to_end(sqlite_db, tmp_path, capsys):
+    """--password-file flows through main() to a --connect tool."""
+    from sqoop_spark.cli import main as cli_main
+
+    pf = tmp_path / "pw.txt"
+    pf.write_text("ignored-by-sqlite\n")
+    os.chmod(pf, 0o600)
+    rc = cli_main([
+        "eval", "--connect", f"jdbc:sqlite:{sqlite_db}",
+        "-e", "SELECT COUNT(*) AS n FROM repos",
+        "--password-file", str(pf),
+    ])
+    assert rc == 0
+    assert "200" in capsys.readouterr().out
+
+
 def test_cli_import_all_tables_connect(spark, sqlite_db, tmp_path, capsys):
     """import-all-tables --connect (round-3 ADVICE: the CLI branch was
     unreachable — the subparser lacked --connect): every table from the
