@@ -24,6 +24,8 @@ with the subset that has meaning on a lake-native engine:
   history            snapshot audit of a lake table (manifest metadata)
   maintain           compact / rewrite-small-files / expire-snapshots /
                      remove-orphans
+  replicate          outbound CDC: one resumable changelog pass into a lake
+                     or JDBC replica (the export direction Sqoop lacks)
   bench              the replay benchmark at two parallelism levels
 
 Run as::
@@ -627,6 +629,69 @@ def cmd_history(args) -> int:
     return 0
 
 
+def cmd_replicate(args) -> int:
+    """Continuous outbound CDC — one resumable replication pass from a lake
+    table's changelog into a lake or JDBC replica (the export direction the
+    reference lacks: tool/ExportTool.java is always a full-table push).
+
+    Lake target: each commit's diff lands as one fenced merge batch
+    (batch id = source version → exactly-once). JDBC target (--connect):
+    upsert/delete DB-API batches; idempotent diffs make the at-least-once
+    watermark loop effectively-once. Re-run on a schedule (or in a shell
+    loop) to tail continuously; the JobStore watermark resumes each pass.
+    """
+    from sqoop_spark.cdc import CdcEngine, JobStore
+    from sqoop_spark.lake import LakeTable
+    from sqoop_spark.streaming import follow_changes, replicate_to_table
+
+    store = JobStore(args.job_store)
+    if args.job not in store.list():
+        store.create(args.job, {})
+    spark = _session(args)
+    if not LakeTable.exists(args.source):
+        raise SystemExit(f"replicate: no lake table at {args.source}")
+    src = LakeTable(spark, args.source)
+
+    if args.connect:
+        from sqoop_spark.sources.jdbc import dbapi_factory_for_url, jdbc_apply_changes
+
+        if not args.target_table:
+            raise SystemExit("replicate: --target-table is required with --connect")
+        factory = dbapi_factory_for_url(args.connect)
+        key_cols = src.key_columns
+
+        def apply_fn(version, diff):
+            jdbc_apply_changes(
+                diff,
+                factory,
+                args.target_table,
+                key_cols,
+                dialect=args.dialect,
+                num_connections=args.num_connections,
+            )
+
+        n = follow_changes(src, store, args.job, apply_fn)
+    else:
+        if not args.target:
+            raise SystemExit("replicate: one of --target/--connect is required")
+        if not LakeTable.exists(args.target):
+            src_manifest = src.manifest()
+            LakeTable.create(
+                spark,
+                args.target,
+                src.schema(),
+                src.key_columns,
+                num_buckets=src_manifest["num_buckets"],
+                properties={"order_column": src.order_column},
+            )
+        replica = CdcEngine(
+            spark, LakeTable(spark, args.target), fingerprint=False
+        )
+        n = replicate_to_table(src, replica, store, args.job)
+    print(json.dumps({"job": args.job, "applied": n}))
+    return 0
+
+
 def cmd_eval(args) -> int:
     """Ad-hoc SQL — tool/EvalSqlTool.java. With --connect a result-set
     statement runs as a JDBC subquery read; a write statement (INSERT/
@@ -977,6 +1042,25 @@ def build_parser() -> argparse.ArgumentParser:
     hist = sub.add_parser("history", help="snapshot history of a lake table")
     hist.add_argument("--path", required=True)
     hist.set_defaults(fn=cmd_history)
+
+    rep = sub.add_parser(
+        "replicate",
+        help="one resumable outbound-CDC pass: lake changelog → lake or "
+        "JDBC replica (re-run to tail continuously)",
+    )
+    rep.add_argument("--source", required=True, help="source lake table path")
+    rep.add_argument("--target", help="replica lake table path (created on "
+                     "first run from the source's schema/keys/buckets)")
+    rep.add_argument("--connect", help="jdbc:... replica URL instead of a lake path")
+    rep.add_argument("--target-table", help="replica table name (with --connect)")
+    rep.add_argument("--dialect", default="sqlite",
+                     help="vendor upsert dialect for --connect (mysql/sqlite)")
+    rep.add_argument("--num-connections", type=int, default=4,
+                     help="parallel connections against the JDBC replica")
+    rep.add_argument("--job", required=True,
+                     help="consumer name — its watermark resumes each pass")
+    rep.add_argument("--job-store", default=".sqoop_spark_jobs")
+    rep.set_defaults(fn=cmd_replicate)
 
     mt = sub.add_parser("maintain", help="lake-table maintenance actions")
     mt.add_argument("--path", required=True)

@@ -346,6 +346,14 @@ def update_statement(table: str, cols: Sequence[str], update_keys: Sequence[str]
     return f"UPDATE {table} SET {set_sql} WHERE {where_sql}"
 
 
+def delete_statement(table: str, keys: Sequence[str]) -> str:
+    """DELETE FROM t WHERE k1=? AND k2=? — the changelog-replication delete
+    shape. The reference has no delete export (SqoopOptions.UpdateMode is
+    insert/update/upsert only); outbound CDC needs one."""
+    where_sql = " AND ".join(f"{k}=?" for k in keys)
+    return f"DELETE FROM {table} WHERE {where_sql}"
+
+
 def mysql_upsert_statement(table: str, cols: Sequence[str], num_rows: int = 1) -> str:
     """INSERT ... ON DUPLICATE KEY UPDATE c=VALUES(c) —
     MySQLUpsertOutputFormat.getUpdateStatement (:95-140), multi-row."""
@@ -518,6 +526,62 @@ def jdbc_export(
         )
 
     df.foreachPartition(_run)
+
+
+def jdbc_apply_changes(
+    diff,
+    conn_factory: Callable[[], Any],
+    table: str,
+    key_cols: Sequence[str],
+    dialect: str = "sqlite",
+    statements_per_transaction: int = DEFAULT_STATEMENTS_PER_TRANSACTION,
+    num_connections: int | None = None,
+) -> None:
+    """Apply one changelog diff (``LakeTable.changes_between`` schema: table
+    columns + ``_change``) to a JDBC replica: inserts/updates go through the
+    vendor upsert dialect, deletes through keyed DELETE — the outbound-CDC
+    sink the reference's insert/update/upsert export trio cannot express.
+
+    A diff carries one row per key and every op is an absolute state, so
+    re-applying it after a crash is idempotent: the at-least-once delivery
+    of ``follow_changes`` (apply before watermark save) upgrades to
+    effectively-once without any replica-side fence. Both legs run
+    executor-side over partitions; nothing is collected to the driver.
+
+    ``num_connections`` caps parallel connections against the replica —
+    the same courtesy contract as the import side's ``num_mappers``
+    (single-writer stores like sqlite need 1).
+    """
+    from pyspark.sql import functions as F
+
+    if num_connections is not None:
+        diff = diff.coalesce(num_connections)
+    upserts = diff.filter(F.col("_change") != "delete").drop("_change")
+    jdbc_export(
+        upserts,
+        conn_factory,
+        table,
+        mode="allowinsert",
+        update_key=",".join(key_cols),
+        dialect=dialect,
+        statements_per_transaction=statements_per_transaction,
+    )
+    stmt = delete_statement(table, key_cols)
+    n_keys = len(key_cols)
+
+    def _run(rows):
+        export_partition(
+            rows,
+            conn_factory,
+            lambda n: stmt,
+            n_keys,
+            records_per_statement=1,
+            statements_per_transaction=statements_per_transaction,
+        )
+
+    diff.filter(F.col("_change") == "delete").select(*key_cols).foreachPartition(
+        _run
+    )
 
 
 #: Statement heads that yield a result set (the eval read path); anything

@@ -94,6 +94,117 @@ def apply_changes(target: dict, diff: DataFrame, key_cols: list[str]) -> dict:
     return target
 
 
+def replicate_to_table(
+    source: LakeTable,
+    replica,
+    job_store,
+    job: str,
+    option_key: str = "changelog.replica.version",
+    op_col: str = "op",
+) -> int:
+    """One resumable lake→lake replication pass: each content commit's diff
+    becomes one fenced merge batch on the replica, with **batch id = source
+    table version** — the foreachBatch contract (streaming/foreach.py) with
+    the changelog as the source instead of a file stream.
+
+    Exactly-once layering, same as the inbound direction:
+
+    - the JobStore watermark (saved AFTER each apply) makes delivery
+      at-least-once across crashes;
+    - the replica's batch-id fence (commit-atomic with the data,
+      ``CdcEngine.apply_batch``) makes redelivered diffs no-ops.
+
+    ``replica`` is a CdcEngine over a table with the same key columns and
+    order column as ``source``; dedicate one replica table per source
+    (version numbers are the fence namespace). Bootstrap — first call, or a
+    saved position that expired under ``expire_snapshots`` — performs a full
+    resync as ONE fenced batch: the source snapshot as upserts, plus
+    deletes for replica keys the snapshot no longer has (rows deleted while
+    the consumer was down must not survive a re-bootstrap).
+
+    Returns the number of batches applied (resync counts as one).
+
+    Diffs are ABSOLUTE state transitions delivered in version order (the
+    replica is provably at the v−1 state when diff v arrives — the
+    watermark/fence pair enforces it), so they apply under **dataset
+    precedence**: the diff row always wins, including a delete whose
+    stored order value equals the replica row's. That is MergeReducerBase
+    semantics, selected here by passing a sentinel order column the schema
+    doesn't have (cdc/merge.py falls back to dataset precedence exactly
+    when the order column isn't a table column). A MoR replica cannot
+    express this — its read-time resolution orders by the STORED column,
+    which would resurrect rows a same-seq delete removed — so the replica
+    must be copy-on-write.
+    """
+    from pyspark.sql import functions as F
+
+    if replica.merge_strategy != "cow":
+        raise EngineError(
+            "replicate_to_table requires a copy-on-write replica: diffs are "
+            "absolute state transitions applied under dataset precedence, "
+            "which MoR read-time resolution (ordered by the stored order "
+            "column) cannot express"
+        )
+    # Not a real column: selects the dataset-precedence merge path.
+    _precedence = "_changelog_dataset_precedence"
+    opts = job_store.read(job)["options"]
+    current = source.current_version() or 0
+    last = opts.get(option_key)
+    if (
+        last is None
+        or int(last) < 1
+        or (current >= 1 and not source.manifest_exists(int(last)))
+    ):
+        applied = 0
+        if current >= 1:
+            snap = source.read(current)
+            batch = snap.withColumn(op_col, F.lit("upsert"))
+            if replica.table.total_rows() > 0:
+                key_cols = replica.table.key_columns
+                gone = (
+                    replica.table.read()
+                    .join(snap.select(*key_cols), key_cols, "left_anti")
+                    .withColumn(op_col, F.lit("delete"))
+                )
+                batch = batch.unionByName(gone)
+            if (
+                replica.apply_batch(
+                    batch,
+                    batch_id=current,
+                    order_col=_precedence,
+                    reduce_batch=False,
+                )
+                is not None
+            ):
+                applied = 1
+        job_store.update(job, **{option_key: current})
+        return applied
+    applied = 0
+    for v, diff in iter_changes(source, int(last), current):
+        batch = diff.withColumn(
+            op_col,
+            F.when(F.col("_change") == "delete", F.lit("delete")).otherwise(
+                F.lit("upsert")
+            ),
+        ).drop("_change")
+        # One row per key by construction — skip the newest-wins reduce
+        # shuffle; the fence alone decides re-delivery.
+        if (
+            replica.apply_batch(
+                batch,
+                batch_id=v,
+                order_col=_precedence,
+                reduce_batch=False,
+            )
+            is not None
+        ):
+            applied += 1
+        job_store.update(job, **{option_key: v})
+    if current > int(last):
+        job_store.update(job, **{option_key: current})
+    return applied
+
+
 def follow_changes(
     table: LakeTable,
     job_store,

@@ -726,3 +726,138 @@ def test_follow_changes_expired_position_rebootstraps(spark, scratch):
         store.read("consumer")["options"]["changelog.last.version"]
         == t.current_version()
     )
+
+
+def _kv_table(spark, path, num_buckets=2):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    return LakeTable.create(
+        spark, path, schema, ["k"], num_buckets=num_buckets,
+        properties={"order_column": "seq"},
+    ), schema
+
+
+def _table_state(t):
+    return {(r.k): (r.seq, r.v) for r in t.read().collect()}
+
+
+def test_replicate_to_table_converges_and_fences_redelivery(spark, scratch):
+    """Lake→lake replication through the changelog: bootstrap copies the
+    snapshot as one fenced batch, each later content commit lands as one
+    fenced diff batch (batch id = source version), and a crash between
+    apply and watermark save redelivers the diff — which the replica's
+    fence no-ops, converging exactly-once (the outbound mirror of the
+    inbound foreachBatch epoch fence, streaming/foreach.py)."""
+    from sqoop_spark.cdc import CdcEngine
+    from sqoop_spark.cdc.checkpoint import JobStore
+    from sqoop_spark.streaming import replicate_to_table
+
+    src, schema = _kv_table(spark, f"{scratch}/rsrc")
+    dst, _ = _kv_table(spark, f"{scratch}/rdst")
+    replica = CdcEngine(spark, dst, fingerprint=False)
+    store = JobStore(f"{scratch}/r_jobs")
+    store.create("replica", {})
+
+    src.append(spark.createDataFrame([(1, 1, "a"), (2, 2, "b")], schema))
+    # bootstrap = one fenced snapshot batch
+    assert replicate_to_table(src, replica, store, "replica") == 1
+    assert _table_state(dst) == _table_state(src)
+
+    op_schema = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    src.append_delta(
+        spark.createDataFrame(
+            [(1, 10, "a2", "upsert"), (2, 11, "b", "delete")], op_schema
+        )
+    )
+    src.append(spark.createDataFrame([(5, 12, "e")], schema))
+    v_before = store.read("replica")["options"]["changelog.replica.version"]
+    assert replicate_to_table(src, replica, store, "replica") == 2
+    assert _table_state(dst) == _table_state(src) == {1: (10, "a2"), 5: (12, "e")}
+
+    # crash between apply and save: rewind the watermark as if the saves
+    # never landed; every redelivered diff is fenced, zero batches apply,
+    # state unchanged, watermark re-advances
+    store.update("replica", **{"changelog.replica.version": v_before})
+    assert replicate_to_table(src, replica, store, "replica") == 0
+    assert _table_state(dst) == _table_state(src)
+    assert (
+        store.read("replica")["options"]["changelog.replica.version"]
+        == src.current_version()
+    )
+
+    # idle pass: nothing new
+    assert replicate_to_table(src, replica, store, "replica") == 0
+
+
+def test_replicate_to_table_resync_after_expiry_removes_deletes(spark, scratch):
+    """A consumer whose saved position expired under expire_snapshots must
+    FULL-RESYNC, not just upsert the snapshot: keys deleted in the source
+    while the consumer was down have to disappear from the replica."""
+    from sqoop_spark.cdc import CdcEngine
+    from sqoop_spark.cdc.checkpoint import JobStore
+    from sqoop_spark.streaming import replicate_to_table
+
+    src, schema = _kv_table(spark, f"{scratch}/xsrc")
+    dst, _ = _kv_table(spark, f"{scratch}/xdst")
+    replica = CdcEngine(spark, dst, fingerprint=False)
+    store = JobStore(f"{scratch}/x_jobs")
+    store.create("replica", {})
+
+    src.append(
+        spark.createDataFrame([(1, 1, "a"), (2, 2, "b"), (3, 3, "c")], schema)
+    )
+    replicate_to_table(src, replica, store, "replica")
+    assert _table_state(dst) == _table_state(src)
+
+    # consumer goes dark; the source deletes k=2, updates k=1, adds k=9,
+    # and enough commits pass that the saved position expires
+    op_schema = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    src.append_delta(
+        spark.createDataFrame(
+            [(2, 10, "b", "delete"), (1, 11, "a2", "upsert")], op_schema
+        )
+    )
+    for i in range(4):
+        src.append(spark.createDataFrame([(9 + i, 20 + i, f"n{i}")], schema))
+    src.expire_snapshots(keep_last=2)
+    saved = store.read("replica")["options"]["changelog.replica.version"]
+    assert not src.manifest_exists(saved)
+
+    assert replicate_to_table(src, replica, store, "replica") == 1
+    assert _table_state(dst) == _table_state(src)
+    assert 2 not in _table_state(dst)
+
+
+def test_cli_replicate_lake_to_lake(spark, scratch, capsys):
+    """`replicate` tool end-to-end: first pass bootstraps (creating the
+    replica from the source's shape), later passes tail new commits."""
+    import json
+
+    from sqoop_spark.cli import main as cli_main
+
+    src, schema = _kv_table(spark, f"{scratch}/clisrc")
+    src.append(spark.createDataFrame([(1, 1, "a"), (2, 2, "b")], schema))
+    argv = [
+        "replicate", "--source", f"{scratch}/clisrc",
+        "--target", f"{scratch}/clidst",
+        "--job", "r1", "--job-store", f"{scratch}/cli_jobs",
+    ]
+    assert cli_main(list(argv)) == 0
+    assert json.loads(capsys.readouterr().out)["applied"] == 1
+
+    op_schema = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    src.append_delta(
+        spark.createDataFrame([(2, 10, "b2", "upsert"), (3, 11, "c", "upsert")],
+                              op_schema)
+    )
+    assert cli_main(list(argv)) == 0
+    assert json.loads(capsys.readouterr().out)["applied"] == 1
+    dst = LakeTable(spark, f"{scratch}/clidst")
+    assert _table_state(dst) == _table_state(src) == {
+        1: (1, "a"), 2: (10, "b2"), 3: (11, "c")
+    }
