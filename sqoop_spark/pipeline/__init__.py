@@ -16,6 +16,7 @@ from sqoop_spark.pipeline.similarity import (  # noqa: F401
     lsh_cosine_topk,
 )
 from sqoop_spark.pipeline.text import (  # noqa: F401
+    bpe_encode,
     doc_fingerprint,
     filter_documents,
     lang_id,
@@ -23,4 +24,6 @@ from sqoop_spark.pipeline.text import (  # noqa: F401
     redact_pii,
     repetition_score,
     token_count,
+    train_bpe_merges,
+    train_bpe_merges_df,
 )

@@ -113,6 +113,98 @@ def train_bpe_merges(texts: list[str], n_merges: int = 200) -> list[tuple[str, s
     return merges
 
 
+def train_bpe_merges_df(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    checkpoint_every: int = 10,
+) -> list[tuple[str, str]]:
+    """Distributed greedy BPE merge-table training — bitwise-identical to
+    ``train_bpe_merges`` (pytest twin equality) with every counting pass
+    executor-side, the shape that survives a 100 TB corpus:
+
+    - ONE corpus scan: pre-tokenize (the shared ``BPE_REGEX``), explode,
+      map-side-combined groupBy word → the (symbols, freq) working set.
+      From here on the corpus is never touched again; the working set is
+      O(unique pre-tokens), Zipf-compressed far below corpus size — and it
+      stays DISTRIBUTED (never collected), so vocabularies that dwarf
+      driver memory (code identifiers) are fine.
+    - per merge iteration: adjacent-pair counts as explode →
+      map-side-combined groupBy → ``sum(freq)``; the driver collects
+      exactly ONE row (the argmax merge, ties broken by count desc then
+      lexicographic pair — UTF-8 binary order equals code-point order, so
+      Spark's string sort matches the driver trainer's Python tie-break).
+      The winning merge is applied to the symbol arrays JVM-side with an
+      ``aggregate`` fold (left-to-right, non-overlapping — the same greedy
+      scan as the driver trainer's while loop).
+
+    Lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
+    iterations so the plan stays O(1) across hundreds of merges (the
+    connected-components pattern, dedup.py). Stops early when no adjacent
+    pair occurs at least twice, like the driver trainer.
+    """
+    spark = df.sparkSession
+    empty = F.array().cast("array<string>")
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # (?s). matches one CODE POINT in Java regex — the same character
+        # unit as the driver trainer's tuple(w) (plain split("") works on
+        # UTF-16 units and would shear surrogate pairs).
+        .select(
+            F.regexp_extract_all("w", F.lit(r"(?s)."), 0).alias("syms"), "freq"
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            words.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        merged = a + b
+        fold = F.aggregate(
+            "syms",
+            empty,
+            # try_element_at: NULL (not an ANSI error) on the empty
+            # accumulator; NULL == a is NULL, so the otherwise-branch fires.
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(fold.alias("syms"), "freq")
+        if (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
 def _bpe_apply(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Encode one pre-token: repeatedly merge the lowest-rank adjacent
     pair (the standard rank-priority BPE apply loop)."""

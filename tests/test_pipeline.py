@@ -743,6 +743,48 @@ def test_bpe_train_merges_sennrich_example():
     assert merges[1] == ("es", "t")
 
 
+def test_bpe_train_distributed_twin_no_driver_materialization(spark, docs):
+    """train_bpe_merges_df (executor-side counting) must produce the
+    IDENTICAL merge table as the driver trainer — same greedy argmax, same
+    count-desc/lexicographic tie-break, same <2 stop — while the driver
+    only ever collects single argmax rows (the counting pass is never
+    materialized driver-side; the corpus working set stays distributed)."""
+    from sqoop_spark.pipeline.text import train_bpe_merges, train_bpe_merges_df
+
+    # the published Sennrich corpus first (exact early merges known) ...
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    sennrich = [" ".join(corpus)]
+    # ... then real documents (punctuation, digits, space-prefixed tokens)
+    texts = [r.text for r in docs.limit(30).collect()]
+
+    for sample, n in ((sennrich, 12), (texts, 25)):
+        want = train_bpe_merges(sample, n_merges=n)
+        df = spark.createDataFrame([(t,) for t in sample], "text string")
+        collected_sizes: list[int] = []
+        # patch the RUNTIME DataFrame class (pyspark 4's classic concrete
+        # class overrides collect, so the abstract base never dispatches)
+        dfcls = type(df)
+        orig_collect = dfcls.collect
+
+        def spy(self, *a, **kw):
+            out = orig_collect(self, *a, **kw)
+            collected_sizes.append(len(out))
+            return out
+
+        dfcls.collect = spy
+        try:
+            got = train_bpe_merges_df(df, n_merges=n, checkpoint_every=5)
+        finally:
+            dfcls.collect = orig_collect
+        assert got == want
+        # every driver round-trip during training is exactly the 1-row argmax
+        assert collected_sizes and max(collected_sizes) <= 1
+
+    # early stop: a corpus where no pair reaches frequency 2
+    one = spark.createDataFrame([("ab cd",)], "text string")
+    assert train_bpe_merges_df(one, n_merges=10) == train_bpe_merges(["ab cd"], 10)
+
+
 def test_bpe_encode_matches_reference_twin(spark):
     """bpe_encode (broadcast ranks + memoized pandas UDF) must reproduce a
     straightforward independent apply-merges-in-order implementation on
