@@ -34,6 +34,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: E402  (pandas_udf type-hint resolution)
 import pyarrow.parquet as pq  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -200,6 +201,90 @@ def skew_pair(spark, n_events: int, rounds: int = 2) -> dict:
     return out
 
 
+def ivf_large_k(spark) -> dict:
+    """Large-K IVF evidence (round-3 verdict item 6): K=4096 centroids over
+    10^6 clustered vectors (dim 64) on the pandas/BLAS assignment path the
+    code claims scales to K in the tens of thousands.
+
+    Records the one-time index build wall (every corpus vector assigned to
+    its nearest of 4096 centroids — one numpy matmul per Arrow batch), the
+    query wall over the PREBUILT index (32 queries probing 32/4096
+    inverted lists ≈ 0.8% of the corpus cosine-verified), the exact
+    brute-force wall on the same queries (cosine_topk_blas — per-batch
+    BLAS block + map-side top-k), and recall@10 vs exact.
+
+    The corpus is closed-form deterministic (sin-hash cluster bases + per-id
+    jitter, no RNG state): 2000 true clusters so near-neighbor structure
+    exists for recall to measure.
+
+    Honest finding this records: with the index fully in memory at this N,
+    the exact BLAS scan WINS on wall (speedup_vs_exact < 1) — a dense
+    matmul row costs less than a probe-join row, and the probe join still
+    scans the whole index. IVF's candidate pruning (candidate_frac of the
+    corpus) converts to wall-clock only when the inverted lists are
+    storage-partitioned by centroid so probes prune FILES, or the corpus
+    exceeds memory — the 10^9-vector deployment shape, noted in
+    BASELINE.md. At bench scale the value demonstrated is recall-preserving
+    candidate pruning + the reusable prebuilt index, measured per phase.
+    """
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from sqoop_spark.pipeline import cosine_topk_blas, ivf_index, ivf_search
+
+    N, DIM, K, PROBES, NQ, TOPK = 1_000_000, 64, 4096, 32, 32, 10
+
+    @pandas_udf("array<float>")
+    def vec(ids: pd.Series) -> pd.Series:
+        ids_np = ids.to_numpy(dtype="float64")
+        j = np.arange(DIM, dtype="float64")
+        base = np.sin(np.outer(np.mod(ids_np, 2000.0) + 1.0, j * 0.7919 + 1.234))
+        jit = 0.25 * np.sin(np.outer(ids_np + 1.0, j * 2.357 + 0.567))
+        return pd.Series(list((base + jit).astype("float32")))
+
+    corpus = (
+        spark.range(0, N, 1, 64)
+        .select(F.col("id").alias("vec_id"), vec("id").alias("embedding"))
+        .localCheckpoint(eager=True)  # staged input, untimed
+    )
+    queries = corpus.filter(F.col("vec_id") % (N // NQ) == 0).localCheckpoint(
+        eager=True
+    )
+
+    t0 = time.time()
+    cents, index = ivf_index(corpus, n_centroids=K, method="pandas")
+    index = index.localCheckpoint(eager=True)
+    build = time.time() - t0
+
+    t0 = time.time()
+    approx = ivf_search(
+        cents, index, queries, k=TOPK, n_probes=PROBES, method="pandas"
+    ).collect()
+    query = time.time() - t0
+
+    t0 = time.time()
+    exact = cosine_topk_blas(corpus, queries, k=TOPK).collect()
+    exact_wall = time.time() - t0
+
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    recall = sum((r.query_id, r.neighbor_id) in truth for r in approx) / len(truth)
+    return {
+        "n_vectors": N,
+        "dim": DIM,
+        "n_centroids": K,
+        "n_probes": PROBES,
+        "n_queries": NQ,
+        "build_sec": round(build, 3),
+        "build_vectors_per_sec": round(N / build, 1),
+        "query_sec": round(query, 3),
+        "exact_query_sec": round(exact_wall, 3),
+        "speedup_vs_exact": round(exact_wall / query, 2),
+        "candidate_frac": round(PROBES / K, 5),
+        "recall_at_10": round(recall, 4),
+    }
+
+
 def _compute_probe(spark) -> float:
     """Pure-JVM compute control: sha2 fold over spark.range.
 
@@ -308,6 +393,9 @@ def main() -> None:
     skew = skew_pair(spark, min(4_000_000, max(200_000, n_events // 4)))
     for k in ("skew_hot_nolimit_unsalted", "skew_hot_nolimit_salted", "skew_hot_default"):
         results[k] = skew[k]
+    ivf_lk = ivf_large_k(spark)
+    results["ann_ivf_build_1m_k4096"] = ivf_lk["build_sec"]
+    results["ann_ivf_query_1m_k4096"] = ivf_lk["query_sec"]
     spark.stop()
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
@@ -323,6 +411,7 @@ def main() -> None:
                 "cpus_headline": CPUS,
                 "events_per_sec": round(n_events / headline_wall, 1),
                 "skew": skew,
+                "ivf_large_k": ivf_lk,
                 "scaling": {
                     "cpus_lo": lo_cpus,
                     "cpus_hi": hi_cpus,

@@ -9,10 +9,13 @@ from sqoop_spark.pipeline.dedup import (  # noqa: F401
 )
 from sqoop_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
+    cosine_topk_blas,
     embedding_cosine_pairs_exact,
     embedding_dedup_pairs,
     ivf_centroids,
     ivf_cosine_topk,
+    ivf_index,
+    ivf_search,
     lsh_cosine_topk,
 )
 from sqoop_spark.pipeline.text import (  # noqa: F401

@@ -121,6 +121,82 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k, the map-side-combine shape: the
+    (small, bounded) query set is collected once and broadcast as one
+    normalized matrix; each corpus Arrow batch computes the full
+    ``batch × queryᵀ`` cosine block with one BLAS matmul and emits only
+    its per-query top-k candidates — ~``n_queries × k`` rows per batch
+    instead of ``n_queries × batch`` join rows, so the shuffle is O(k)
+    per query per batch and the corpus vectors never leave the executor.
+
+    Same result as ``cosine_topk`` (pytest-pinned): candidate selection
+    uses the global (-cosine, neighbor_id) total order within each batch,
+    and any element of the global top-k under that order is necessarily
+    in its own batch's top-k under the same order — so per-batch k is
+    exact, no slack needed. Use this at 10^9 × 10^2; ``cosine_topk``'s
+    pair-join stays for oracle parity and tiny inputs.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+    bc = spark.sparkContext.broadcast((qids, Q, np.linalg.norm(Q, axis=1)))
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+    )
+
+    def _gen(batches):
+        import pandas as pd
+
+        ids_q, m, mnorm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nids = pdf[id_col].to_numpy()
+            V = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            # dot / (|v| * |q|), the _pair_cosine_udf op order (one divide
+            # of the raw dot by the norm product)
+            S = (V @ m.T) / np.outer(np.linalg.norm(V, axis=1), mnorm)
+            take = min(k + 1, len(nids))  # +1 absorbs a self-match
+            parts = []
+            for qi in range(len(ids_q)):
+                col = S[:, qi]
+                # exact under the (-cosine, id) total order: lexsort keys
+                # are applied last-key-major
+                order = np.lexsort((nids, -col))[:take]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": ids_q[qi],
+                            "neighbor_id": nids[order],
+                            "cosine": col[order],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    cand = corpus.mapInPandas(_gen, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def _plane_component(j, p: int, seed: int, hash_fn: str):
     """Plane p's pseudo-random component at index j, scaled to [-1, 1).
 
@@ -358,12 +434,126 @@ def _make_top_cents_udf(spark, cents_rows, n_best: int):
         V = np.stack([np.asarray(v, dtype="float64") for v in vs])
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
         S = V @ m.T  # (batch, K) cosine matrix
-        order = np.argsort(-S, axis=1, kind="stable")[:, :n_best]
-        for row in order:
-            out.append(row.astype("int32").tolist())
+        if n_best == 1:
+            # argmax returns the FIRST maximum — the same smallest-id
+            # tie-break as the stable argsort, at O(K) per row instead of
+            # O(K log K): this is the index-build hot path at K=10^4.
+            for c in np.argmax(S, axis=1):
+                out.append([int(c)])
+        else:
+            order = np.argsort(-S, axis=1, kind="stable")[:, :n_best]
+            for row in order:
+                out.append(row.astype("int32").tolist())
         return pd.Series(out)
 
     return pandas_udf(_top_cents, "array<int>")
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    method: str = "expr",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF build phase, separable so the inverted index is PAID ONCE and
+    reused across query batches (the IVF contract). Returns
+    ``(cents, index)``: the centroid table (centroid_id, _kv) and the
+    assignment index (neighbor_id, _cv, centroid_id). Persist/checkpoint
+    ``index`` between query batches; see ``ivf_cosine_topk`` for the
+    assignment-method trade-off (``expr`` crossjoin vs ``pandas`` BLAS)."""
+    cents_df = ivf_centroids(corpus, n_centroids, id_col, vec_col, seed, hash_fn)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    if method == "pandas":
+        # Bounded driver collect (K rows, id-ordered) -> broadcast matrix.
+        rows = cents_df.orderBy("centroid_id").collect()
+        assign1 = _make_top_cents_udf(
+            corpus.sparkSession, [r["_kv"] for r in rows], 1
+        )
+        index = c.withColumn("centroid_id", assign1(F.col("_cv"))[0])
+    elif method == "expr":
+        cents = F.broadcast(cents_df)
+        index = (
+            c.crossJoin(cents)
+            .select(
+                "neighbor_id",
+                "_cv",
+                "centroid_id",
+                _centroid_cos(F.col("_cv"), F.col("_kv")).alias("_ccos"),
+            )
+            .groupBy("neighbor_id")
+            .agg(
+                F.max_by(
+                    "centroid_id", F.struct(F.col("_ccos"), (-F.col("centroid_id")))
+                ).alias("centroid_id"),
+                F.first("_cv").alias("_cv"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}; use 'expr' or 'pandas'")
+    return cents_df, index
+
+
+def ivf_search(
+    cents_df: DataFrame,
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 2,
+    method: str = "expr",
+    verify_method: str = "pandas",
+) -> DataFrame:
+    """IVF query phase over a prebuilt ``ivf_index``: each query probes
+    its ``n_probes`` nearest centroids' inverted lists only; the probe
+    side broadcasts, so the (large) index is never re-shuffled."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    if method == "pandas":
+        rows = cents_df.orderBy("centroid_id").collect()
+        assignp = _make_top_cents_udf(
+            queries.sparkSession, [r["_kv"] for r in rows], n_probes
+        )
+        probes = q.withColumn(
+            "centroid_id", F.explode(assignp(F.col("_qv")))
+        ).select("query_id", "_qv", "centroid_id")
+    elif method == "expr":
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("_ccos").desc(), F.col("centroid_id").asc()
+        )
+        probes = (
+            q.crossJoin(F.broadcast(cents_df))
+            .select(
+                "query_id",
+                "_qv",
+                "centroid_id",
+                _centroid_cos(F.col("_qv"), F.col("_kv")).alias("_ccos"),
+            )
+            .withColumn("_pr", F.row_number().over(wq))
+            .filter(F.col("_pr") <= n_probes)
+            .select("query_id", "_qv", "centroid_id")
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}; use 'expr' or 'pandas'")
+    scored = (
+        index.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_col(F.col("_qv"), F.col("_cv"), verify_method).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
 
 
 def ivf_cosine_topk(
@@ -406,73 +596,12 @@ def ivf_cosine_topk(
       K = tens of thousands of centroids at 10^9 vectors.
     """
     n_probes = max(1, min(n_probes, n_centroids))
-    cents_df = ivf_centroids(corpus, n_centroids, id_col, vec_col, seed, hash_fn)
-    cents = F.broadcast(cents_df)
-
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-
-    if method == "pandas":
-        # Bounded driver collect (K rows, id-ordered) -> broadcast matrix.
-        rows = cents_df.orderBy("centroid_id").collect()
-        spark = corpus.sparkSession
-        assign1 = _make_top_cents_udf(spark, [r["_kv"] for r in rows], 1)
-        assignp = _make_top_cents_udf(spark, [r["_kv"] for r in rows], n_probes)
-        index = c.withColumn("centroid_id", assign1(F.col("_cv"))[0])
-        probes = q.withColumn(
-            "centroid_id", F.explode(assignp(F.col("_qv")))
-        ).select("query_id", "_qv", "centroid_id")
-    elif method == "expr":
-        index = (
-            c.crossJoin(cents)
-            .select(
-                "neighbor_id",
-                "_cv",
-                "centroid_id",
-                _centroid_cos(F.col("_cv"), F.col("_kv")).alias("_ccos"),
-            )
-            .groupBy("neighbor_id")
-            .agg(
-                F.max_by(
-                    "centroid_id", F.struct(F.col("_ccos"), (-F.col("centroid_id")))
-                ).alias("centroid_id"),
-                F.first("_cv").alias("_cv"),
-            )
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("_ccos").desc(), F.col("centroid_id").asc()
-        )
-        probes = (
-            q.crossJoin(cents)
-            .select(
-                "query_id",
-                "_qv",
-                "centroid_id",
-                _centroid_cos(F.col("_qv"), F.col("_kv")).alias("_ccos"),
-            )
-            .withColumn("_pr", F.row_number().over(wq))
-            .filter(F.col("_pr") <= n_probes)
-            .select("query_id", "_qv", "centroid_id")
-        )
-    else:
-        raise ValueError(f"unknown method {method!r}; use 'expr' or 'pandas'")
-
-    scored = (
-        index.join(F.broadcast(probes), "centroid_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cosine_col(F.col("_qv"), F.col("_cv"), verify_method).alias("cosine"),
-        )
+    cents_df, index = ivf_index(
+        corpus, n_centroids, id_col, vec_col, seed, hash_fn, method
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+    return ivf_search(
+        cents_df, index, queries, k, id_col, vec_col, n_probes, method,
+        verify_method,
     )
 
 

@@ -537,6 +537,58 @@ def test_ivf_partial_probe_scores_exact_and_recall(spark):
     assert high == 5  # all-probe run recovers every true top-1
 
 
+def test_cosine_topk_blas_matches_pair_join(spark):
+    """cosine_topk_blas (per-batch BLAS block + map-side top-k candidates)
+    must reproduce the pair-join cosine_topk: identical (query, neighbor,
+    rank) sets and cosines equal to float tolerance (same dot/(|v||q|)
+    math, BLAS summation order)."""
+    from sqoop_spark.pipeline import cosine_topk, cosine_topk_blas
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cols = ["query_id", "neighbor_id", "rank"]
+    want = cosine_topk(emb, queries, k=7).toPandas().sort_values(cols)
+    # repartition so per-batch candidate selection really runs multi-batch
+    got = (
+        cosine_topk_blas(emb.repartition(8), queries, k=7)
+        .toPandas()
+        .sort_values(cols)
+    )
+    assert got.reset_index(drop=True)[cols].equals(
+        want.reset_index(drop=True)[cols]
+    )
+    assert (
+        (got.reset_index(drop=True).cosine - want.reset_index(drop=True).cosine)
+        .abs()
+        .max()
+        < 1e-9
+    )
+
+
+def test_ivf_index_reused_across_query_batches(spark):
+    """ivf_index / ivf_search split: ONE prebuilt (checkpointed) index
+    serves successive query batches with answers identical to the fused
+    ivf_cosine_topk — the build cost is genuinely paid once (the IVF
+    contract the docstring claims)."""
+    from sqoop_spark.pipeline import ivf_cosine_topk, ivf_index, ivf_search
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents, index = ivf_index(emb, n_centroids=8, method="pandas")
+    index = index.localCheckpoint(eager=True)
+    cols = ["query_id", "neighbor_id", "rank"]
+    for lo, hi in ((0, 5), (5, 10)):
+        qs = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        got = ivf_search(
+            cents, index, qs, k=3, n_probes=2, method="pandas"
+        ).toPandas()
+        want = ivf_cosine_topk(
+            emb, qs, k=3, n_centroids=8, n_probes=2, method="pandas"
+        ).toPandas()
+        assert got.sort_values(cols).reset_index(drop=True)[cols].equals(
+            want.sort_values(cols).reset_index(drop=True)[cols]
+        )
+
+
 def test_ivf_centroids_deterministic(spark):
     from sqoop_spark.pipeline import ivf_centroids
 
