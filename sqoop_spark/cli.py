@@ -52,6 +52,11 @@ def _session(args) -> SparkSession:
         app_name="sqoop-spark",
         parallelism=getattr(args, "num_mappers", None),
         shuffle_partitions=getattr(args, "shuffle_partitions", 32) or 32,
+        hive_metastore=(
+            getattr(args, "hive_metastore", None)
+            if getattr(args, "hive_import", False)
+            else None
+        ),
     )
 
 
@@ -292,6 +297,11 @@ def cmd_import(args) -> int:
             )
             validation = v.message
 
+    hive_info = (
+        _hive_publish(spark, engine.table, args)
+        if getattr(args, "hive_import", False)
+        else {}
+    )
     print(
         json.dumps(
             {
@@ -301,6 +311,7 @@ def cmd_import(args) -> int:
                 "batches": len(report.batches),
                 "skipped_batch_ids": report.skipped_batch_ids,
                 **({"validation": validation} if validation else {}),
+                **hive_info,
             }
         )
     )
@@ -516,6 +527,39 @@ _HIVE_TYPES = {
     "timestamp": "STRING",
     "timestamp_ntz": "STRING",
 }
+
+
+def _hive_publish(spark: SparkSession, table, args) -> dict:
+    """``--hive-import`` — hive/HiveImport.java:241-267 (generate DDL, then
+    LOAD DATA into the metastore table), re-expressed lake-native: the
+    CURRENT merged snapshot is published to a Hive-metastore-backed parquet
+    table via ``saveAsTable``. The reference's LOAD DATA appends the newly
+    imported HDFS files; a merge-applied CDC table's snapshot already IS
+    the complete current state, so a re-publish must replace — hence an
+    existing table errors unless ``--hive-overwrite`` (the same
+    fail-if-exists contract as the reference's --create-hive-table)."""
+    from sqoop_spark.errors import EngineError
+    from sqoop_spark.schema import clean_identifier
+
+    db = args.hive_database or "default"
+    name = args.hive_table or clean_identifier(
+        os.path.basename(args.target.rstrip("/"))
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+    qualified = f"{db}.{name}"
+    exists = spark.catalog.tableExists(qualified)
+    if exists and not args.hive_overwrite:
+        raise EngineError(
+            f"Hive table {qualified} already exists; pass --hive-overwrite "
+            "to replace it with the current snapshot"
+        )
+    (
+        table.read()
+        .write.mode("overwrite" if exists else "errorifexists")
+        .format("parquet")
+        .saveAsTable(qualified)
+    )
+    return {"hive_table": qualified, "hive_overwritten": exists}
 
 
 def cmd_create_hive_table(args) -> int:
@@ -971,6 +1015,18 @@ def build_parser() -> argparse.ArgumentParser:
                      "rows transferred (aborts on mismatch)")
     imp.add_argument("--validation-threshold", type=int, default=0,
                      help="absolute count margin accepted by --validate")
+    imp.add_argument("--hive-import", action="store_true",
+                     help="publish the merged snapshot to a Hive-metastore "
+                     "table after the import (embedded Derby metastore)")
+    imp.add_argument("--hive-table",
+                     help="metastore table name (default: cleaned target "
+                     "basename)")
+    imp.add_argument("--hive-database", default="default")
+    imp.add_argument("--hive-overwrite", action="store_true",
+                     help="replace an existing metastore table with the "
+                     "current snapshot (otherwise an existing table errors)")
+    imp.add_argument("--hive-metastore", default=".sqoop_spark_hive",
+                     help="embedded metastore root directory")
     imp.set_defaults(fn=cmd_import)
 
     mrg = sub.add_parser("merge", help="two-dataset newest-wins merge")

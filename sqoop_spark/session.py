@@ -19,12 +19,19 @@ def build_session(
     parallelism: int | None = None,
     shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
     extra_conf: dict[str, str] | None = None,
+    hive_metastore: str | None = None,
 ) -> SparkSession:
     """Create (or reuse) a SparkSession.
 
     ``parallelism`` sets ``local[N]``; None → ``local[$SPARK_GRAFT_CPUS]``
     (default all cores). On a real cluster the master is supplied by
     spark-submit and this builder's master is ignored.
+
+    ``hive_metastore``: enable the Hive catalog backed by an embedded
+    Derby metastore rooted at this directory (created if absent) — the
+    ``--hive-import`` publish target. Catalog choice is fixed at JVM
+    start, so a pre-existing non-Hive session in the same process raises
+    instead of silently publishing to the in-memory catalog.
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
     master = f"local[{cpus}]" if cpus else "local[*]"
@@ -42,6 +49,35 @@ def build_session(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
+    if hive_metastore:
+        d = os.path.abspath(hive_metastore)
+        os.makedirs(d, exist_ok=True)
+        builder = (
+            builder.config("spark.sql.warehouse.dir", os.path.join(d, "warehouse"))
+            .config(
+                "spark.hadoop.javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={os.path.join(d, 'metastore_db')};"
+                "create=true",
+            )
+            # keep derby.log out of the working directory
+            .config(
+                "spark.driver.extraJavaOptions",
+                f"-Dderby.stream.error.file={os.path.join(d, 'derby.log')}",
+            )
+            .enableHiveSupport()
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    session = builder.getOrCreate()
+    if hive_metastore and (
+        session.conf.get("spark.sql.catalogImplementation", "in-memory")
+        != "hive"
+    ):
+        from sqoop_spark.errors import EngineError
+
+        raise EngineError(
+            "hive metastore requested but the existing SparkSession in this "
+            "process was built without Hive support (the catalog is fixed "
+            "at JVM start) — run the hive-import in its own process"
+        )
+    return session
