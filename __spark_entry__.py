@@ -801,6 +801,55 @@ def q_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changelog_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound CDC end-to-end: a fresh replica consumes EVERY content
+    commit of the staged replay as a changelog diff (``iter_changes`` →
+    fenced dataset-precedence apply, ``replicate_to_table`` with the
+    consumer position seeded at the empty create snapshot) — the replica's
+    final state must equal the source's, oracled by the full newest-wins
+    state over the raw events. This is the Debezium-consumer loop the
+    reference's full-table export cannot express (tool/ExportTool.java)."""
+    from sqoop_spark.cdc import CdcEngine, JobStore
+    from sqoop_spark.lake import LakeTable
+    from sqoop_spark.streaming import replicate_to_table
+
+    table, _ = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_rep_")
+    dst = LakeTable.create(
+        spark,
+        f"{tmp}/replica",
+        table.schema(),
+        table.key_columns,
+        num_buckets=table.manifest()["num_buckets"],
+        properties={"order_column": table.order_column},
+    )
+    replica = CdcEngine(spark, dst, fingerprint=False)
+    store = JobStore(f"{tmp}/jobs")
+    # position = the create snapshot: everything after arrives as diffs
+    store.create("rep", {"changelog.replica.version": 1})
+    replicate_to_table(table, replica, store, "rep")
+    return _materialize_and_clean(
+        dst.read().select(*TABLE_COLS.split(", ")), tmp
+    )
+
+
+def q_ann_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k through the map-side BLAS candidate path
+    (``cosine_topk_blas``): per-Arrow-batch cosine block + per-batch top-k
+    candidate emission, O(k) shuffle rows per query per batch. Same oracle
+    as the pair-join ``ann_cosine_topk`` — identical ids/ranks, cosines
+    equal at the 6-decimal rounding across summation orders. The corpus is
+    repartitioned so per-batch candidate selection genuinely runs
+    multi-batch at sf0.01."""
+    from sqoop_spark.pipeline import cosine_topk_blas
+
+    emb = _embs(spark, sf_dir)
+    out = cosine_topk_blas(emb.repartition(8), emb.filter(F.col("vec_id") < 3), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup pipeline end-to-end: Jaccard near-dup pairs →
     connected components → keep-policy resolution (longest text survives
@@ -887,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "repetition_2gram": q_repetition_2gram,
         "pii_redact": q_pii_redact,
+        "changelog_replication": q_changelog_replication,
+        "ann_cosine_topk_blas": q_ann_cosine_topk_blas,
     }
 
 
@@ -1654,7 +1705,21 @@ WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (SELECT doc_id, unnest({_shingle_list_sql(5)}) AS s FROM d)
 SELECT doc_id, min(sha256(s)) AS fingerprint FROM sh GROUP BY doc_id
 """,
-        "ann_cosine_topk": """
+        "ann_cosine_topk": _ANN_COSINE_SQL,
+        # the BLAS candidate path computes the IDENTICAL exact answer — the
+        # two Spark implementations share one oracle
+        "ann_cosine_topk_blas": _ANN_COSINE_SQL,
+        # replica fed purely by per-commit changelog diffs == source final
+        # state == full newest-wins over the (adaptive-batch) events
+        "changelog_replication": _FINAL_STATE_SQL.format(
+            ce=_ce(_ADAPTIVE_BS_SQL)
+        ),
+    }
+
+
+#: Exact cosine top-k oracle, shared by the pair-join and BLAS-candidate
+#: Spark implementations (same answer by construction).
+_ANN_COSINE_SQL = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
 c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
 x AS (
@@ -1674,5 +1739,4 @@ r AS (SELECT query_id, neighbor_id, cosine,
       FROM s)
 SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
 FROM r WHERE rank <= 5
-""",
-    }
+"""
