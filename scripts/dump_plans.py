@@ -269,6 +269,48 @@ def main() -> None:
         )
     )
 
+    # -- round 4 --------------------------------------------------------------
+    op_schema = T.StructType(
+        lschema.fields + [T.StructField("op", T.StringType())]
+    )
+    lt.append_delta(
+        spark.createDataFrame([(0, 1000, "d0", "upsert")], op_schema)
+    )
+    entries = lt.manifest()["files"]
+    d_buckets = sorted(
+        {e["bucket"] for e in entries if e.get("delta") and not e.get("tombstone")}
+    )
+    n_base = len([e for e in entries if not e.get("delta")])
+    since2 = lt.read_since("seq", 299)
+    sections.append(
+        (
+            "Bucket-granular incremental read under MoR deltas (read_since)",
+            f"One unmerged delta lands in bucket(s) {d_buckets}: ONLY those "
+            "buckets are key-resolved (base∪delta newest-wins); the "
+            f"remaining buckets of the {n_base} base files keep the "
+            "zone-map file skip — the plan is a union of the resolved "
+            "delta bucket(s) and the pruned base scan, O(delta buckets) "
+            "instead of the pre-round-4 full-table resolve+filter. "
+            "tests/test_lake.py pins the opened-file set.",
+            formatted(since2),
+        )
+    )
+
+    from sqoop_spark.pipeline import cosine_topk_blas
+
+    blas = cosine_topk_blas(emb, emb.filter(F.col("vec_id") < 3), k=3)
+    sections.append(
+        (
+            "Exact cosine top-k, BLAS candidate path (cosine_topk_blas)",
+            "The corpus is scanned ONCE by a mapInPandas stage that emits "
+            "only per-batch top-k candidate rows (one BLAS cosine block per "
+            "Arrow batch against the broadcast query matrix) — no "
+            "queries×corpus join appears anywhere in the plan; the final "
+            "window ranks O(k · batches) candidate rows per query.",
+            formatted(blas),
+        )
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by "
