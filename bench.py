@@ -267,8 +267,23 @@ def ivf_large_k(spark) -> dict:
     exact = cosine_topk_blas(corpus, queries, k=TOPK).collect()
     exact_wall = time.time() - t0
 
+    # the stored, centroid-partitioned index: probes prune FILES — the
+    # layout that makes IVF's candidate pruning pay at the I/O level
+    from sqoop_spark.pipeline import ivf_search_stored, ivf_store_index
+
+    store_path = os.path.join(SCRATCH, "ivf_index")
+    t0 = time.time()
+    ivf_store_index(cents, index, store_path)
+    store = time.time() - t0
+    t0 = time.time()
+    stored8 = ivf_search_stored(
+        spark, store_path, queries, k=TOPK, n_probes=8
+    ).collect()
+    q_st8 = time.time() - t0
+
     truth = {(r.query_id, r.neighbor_id) for r in exact}
     recall = sum((r.query_id, r.neighbor_id) in truth for r in approx) / len(truth)
+    recall8 = sum((r.query_id, r.neighbor_id) in truth for r in stored8) / len(truth)
     return {
         "n_vectors": N,
         "dim": DIM,
@@ -282,6 +297,10 @@ def ivf_large_k(spark) -> dict:
         "speedup_vs_exact": round(exact_wall / query, 2),
         "candidate_frac": round(PROBES / K, 5),
         "recall_at_10": round(recall, 4),
+        "store_index_sec": round(store, 3),
+        "stored_query_sec_p8": round(q_st8, 3),
+        "stored_speedup_vs_exact_p8": round(exact_wall / q_st8, 2),
+        "stored_recall_at_10_p8": round(recall8, 4),
     }
 
 

@@ -16,6 +16,8 @@ from sqoop_spark.pipeline.similarity import (  # noqa: F401
     ivf_cosine_topk,
     ivf_index,
     ivf_search,
+    ivf_search_stored,
+    ivf_store_index,
     lsh_cosine_topk,
 )
 from sqoop_spark.pipeline.text import (  # noqa: F401

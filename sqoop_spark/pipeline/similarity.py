@@ -556,6 +556,75 @@ def ivf_search(
     )
 
 
+def ivf_store_index(
+    cents_df: DataFrame, index: DataFrame, path: str
+) -> None:
+    """Persist an ``ivf_index`` PARTITIONED BY CENTROID — the layout that
+    converts IVF's candidate pruning into file pruning: each centroid's
+    inverted list is one parquet directory (repartition by centroid first,
+    so each list is a single file, not one shard per writer task), and a
+    probe-time ``centroid_id IN (...)`` filter prunes every unprobed list
+    at the FILE level (PartitionFilters — the scan never opens them).
+    This is the 10^9-vector deployment shape: an in-memory index is always
+    fully scanned by the probe join (see ``bench.py ivf_large_k``'s
+    crossover note); a stored, centroid-partitioned index reads only
+    ``n_probes/K`` of the corpus from disk. Centroids land next to the
+    lists under ``<path>.centroids``."""
+    (
+        index.repartition("centroid_id")
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    cents_df.write.mode("overwrite").parquet(f"{path}.centroids")
+
+
+def ivf_search_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 2,
+    verify_method: str = "pandas",
+) -> DataFrame:
+    """IVF query over a STORED centroid-partitioned index
+    (``ivf_store_index``): the probed centroid ids are computed first (a
+    bounded queries × n_probes set), pushed as a partition filter, and the
+    scan opens only the probed inverted-list files. Results are identical
+    to ``ivf_search`` on the in-memory index (pytest-pinned)."""
+    cents_df = spark.read.parquet(f"{path}.centroids")
+    rows = cents_df.orderBy("centroid_id").collect()
+    assignp = _make_top_cents_udf(spark, [r["_kv"] for r in rows], n_probes)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    probes = q.withColumn(
+        "centroid_id", F.explode(assignp(F.col("_qv")))
+    ).select("query_id", "_qv", "centroid_id")
+    probed = sorted(
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(F.col("centroid_id").isin(probed))
+    scored = (
+        index.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_col(F.col("_qv"), F.col("_cv"), verify_method).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

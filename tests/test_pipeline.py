@@ -589,6 +589,60 @@ def test_ivf_index_reused_across_query_batches(spark):
         )
 
 
+def test_ivf_stored_index_prunes_files_and_matches(spark, tmp_path):
+    """ivf_store_index / ivf_search_stored: the centroid-partitioned layout
+    must (a) return exactly the in-memory ivf_search answer and (b) open
+    ONLY the probed centroids' files — partition pruning is the mechanism
+    that turns IVF's candidate pruning into I/O pruning at 10^9 vectors."""
+    from sqoop_spark.pipeline import (
+        ivf_index,
+        ivf_search,
+        ivf_search_stored,
+        ivf_store_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents, index = ivf_index(emb, n_centroids=8, method="pandas")
+    path = str(tmp_path / "ivf")
+    ivf_store_index(cents, index, path)
+
+    qs = emb.filter(F.col("vec_id") < 5)
+    got = ivf_search_stored(spark, path, qs, k=3, n_probes=2)
+    want = ivf_search(cents, index, qs, k=3, n_probes=2, method="pandas")
+    cols = ["query_id", "neighbor_id", "rank"]
+    gp = got.toPandas().sort_values(cols).reset_index(drop=True)
+    wp = want.toPandas().sort_values(cols).reset_index(drop=True)
+    assert gp[cols].equals(wp[cols])
+
+    # file-prune pin: the stored scan opens only probed partitions
+    rows = cents.orderBy("centroid_id").collect()
+    from sqoop_spark.pipeline.similarity import _make_top_cents_udf
+
+    assignp = _make_top_cents_udf(spark, [r["_kv"] for r in rows], 2)
+    probed = {
+        r[0]
+        for r in qs.select(
+            F.explode(assignp(F.col("embedding"))).alias("c")
+        ).distinct().collect()
+    }
+    assert len(probed) < 8  # pruning is non-trivial on this fixture
+    scan = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(sorted(probed))
+    )
+    # input_file_name() records the files the EXECUTED scan actually read
+    # (DataFrame.inputFiles() is pre-pruning logical metadata)
+    opened = {
+        r[0] for r in scan.select(F.input_file_name()).distinct().collect()
+    }
+    assert opened, "scan read no files"
+    for f in opened:
+        assert any(f"centroid_id={c}/" in f for c in probed), f
+    # one file per centroid directory (the repartition-by-centroid contract)
+    all_files = spark.read.parquet(path).inputFiles()
+    dirs = {f.rsplit("/", 2)[1] for f in all_files}
+    assert len(all_files) == len(dirs)
+
+
 def test_ivf_centroids_deterministic(spark):
     from sqoop_spark.pipeline import ivf_centroids
 
