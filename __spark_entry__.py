@@ -540,6 +540,31 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a STORED centroid-partitioned index: the inverted
+    lists are persisted ``partitionBy(centroid_id)`` (one file per list)
+    and the probe set is pushed as a partition filter, so the query scan
+    opens only the probed lists' FILES — the layout that converts IVF's
+    candidate pruning into I/O pruning at 10^9 vectors. Same deterministic
+    sha256 centroid draw and Arrow/BLAS assignment as ``ann_ivf_topk``
+    (pytest-pinned identical to the in-memory search), so the same DuckDB
+    value-hash oracle applies end-to-end through the storage round-trip."""
+    from sqoop_spark.pipeline import ivf_index, ivf_search_stored, ivf_store_index
+
+    emb = _embs(spark, sf_dir)
+    cents, index = ivf_index(
+        emb, n_centroids=8, hash_fn="sha256", method="pandas"
+    )
+    path = tempfile.mkdtemp(prefix="sqoop_spark_ivf_") + "/index"
+    ivf_store_index(cents, index, path)
+    out = ivf_search_stored(
+        spark, path, emb.filter(F.col("vec_id") < 5), k=3, n_probes=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup join (LSH-bucketed candidates + exact
     cosine verify) with the portable sha256 plane hash — full DuckDB
@@ -922,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_stored": q_ann_ivf_stored,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "multimodal_features": q_multimodal_features,
@@ -1581,6 +1607,7 @@ WHERE event_seq > h
         "multimodal_features": _multimodal_sql(500),
         "ann_lsh_topk": _ann_lsh_sql(n_planes=4, seed=42, k=3),
         "ann_ivf_topk": _ann_ivf_sql(n_centroids=8, n_probes=2, seed=42, k=3),
+        "ann_ivf_stored": _ann_ivf_sql(n_centroids=8, n_probes=2, seed=42, k=3),
         "dedup_embedding": _embedding_dedup_sql(threshold=0.2),
         "dedup_clusters": _dedup_clusters_sql(threshold=0.2),
         "simhash": _simhash_sql(bits=32),
