@@ -311,6 +311,29 @@ def main() -> None:
         )
     )
 
+    from sqoop_spark.pipeline import ivf_index, ivf_search_stored, ivf_store_index
+
+    cents, index = ivf_index(emb, n_centroids=8, method="pandas")
+    ivf_store_index(cents, index, f"{SCRATCH}/ivf")
+    st = ivf_search_stored(
+        spark, f"{SCRATCH}/ivf", emb.filter(F.col("vec_id") < 3), k=3, n_probes=2
+    )
+    sections.append(
+        (
+            "Stored IVF index query (ivf_search_stored)",
+            "The inverted lists are persisted partitionBy(centroid_id) — one "
+            "file per list — and the probed centroid set is pushed as a "
+            "PartitionFilters entry (`centroid_id IN (...)`), so the scan's "
+            "Location lists only the probed lists' directories: IVF's "
+            "candidate pruning realized as file-level I/O pruning, the "
+            "shape that pays at 10^9 vectors where an in-memory index is "
+            "always fully scanned by the probe join. "
+            "tests/test_pipeline.py pins the opened-file set via "
+            "input_file_name().",
+            formatted(st),
+        )
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by "
