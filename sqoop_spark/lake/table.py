@@ -372,12 +372,30 @@ class LakeTable:
             entries = [e for e in entries if e["bucket"] in bs]
         return entries
 
+    @staticmethod
+    def _resolve_buckets(entries: list[dict]) -> set[int]:
+        """Buckets that genuinely need key-resolution: those holding
+        NON-tombstone delta files. A tombstone-only bucket reads as plain
+        base — compaction wrote its base files delete-applied, and a
+        retained tombstone's key can only re-enter the bucket through a new
+        delta (append_delta / the MoR merge flows), which puts the bucket
+        back in this set. Resolving a tombstone-only bucket is an identity
+        shuffle; at steady state (fully compacted MoR table with retained
+        tombstones) skipping it makes the logical read a PLAIN SCAN. (Blind
+        base-append of an already-live key into a merge table is undefined
+        on merge tables generally — it duplicates base keys — not a
+        tombstone-specific caveat.)"""
+        return {
+            e["bucket"]
+            for e in entries
+            if e.get("delta") and not e.get("tombstone")
+        }
+
     def read(self, version: int | None = None) -> DataFrame:
-        """Logical table state (MoR deltas resolved when present)."""
-        entries = self._entries(version)
-        if not any(e.get("delta") for e in entries):
-            return self._read_files(entries, version)
-        return self._resolve(self._read_files(entries, version, with_op=True))
+        """Logical table state (MoR deltas resolved when present —
+        per-bucket: only buckets holding unmerged non-tombstone deltas pay
+        the resolve; the rest scan plain)."""
+        return self._read_state(version, None)
 
     def read_buckets(self, buckets: Iterable[int]) -> DataFrame:
         """Bucket-pruned logical read: only files whose bucket is in
@@ -386,10 +404,7 @@ class LakeTable:
         This is the file-skipping that keeps merge-apply sub-linear in table
         size — the analog of Iceberg partition pruning on a bucket transform.
         """
-        entries = self._entries(buckets=buckets)
-        if not any(e.get("delta") for e in entries):
-            return self._read_files(entries)
-        return self._resolve(self._read_files(entries, with_op=True))
+        return self._read_state(None, set(buckets))
 
     def prune_entries(
         self, entries: list[dict], column: str, lower=None, upper=None
@@ -437,7 +452,11 @@ class LakeTable:
         but ONLY that bucket. Delta-free buckets keep the zone-map file
         skip. A lagging compactor therefore costs O(delta buckets), not
         O(table): the incremental consumer never degrades to a full
-        resolve just because one bucket has a pending delta."""
+        resolve just because one bucket has a pending delta. Retained
+        tombstone files (compact's delete markers) don't count as
+        unmerged deltas — their buckets' base files are already
+        delete-applied (see ``_resolve_buckets``), so the steady-state
+        compacted MoR table keeps full zone-map pruning."""
         from sqoop_spark.cdc.watermark import typed_lit
 
         if column not in self.schema(version).fieldNames():
@@ -449,8 +468,12 @@ class LakeTable:
         if upper is not None:
             pred = pred & (F.col(column) <= typed_lit(upper, dtype))
         entries = self._entries(version)
-        delta_buckets = {e["bucket"] for e in entries if e.get("delta")}
-        clean = [e for e in entries if e["bucket"] not in delta_buckets]
+        delta_buckets = self._resolve_buckets(entries)
+        clean = [
+            e
+            for e in entries
+            if e["bucket"] not in delta_buckets and not e.get("tombstone")
+        ]
         pruned = self.prune_entries(clean, column, lower=last_value, upper=upper)
         out = self._read_files(pruned, version).filter(pred)
         if delta_buckets:
@@ -461,11 +484,25 @@ class LakeTable:
 
     def _read_state(self, version: int | None, buckets: set[int] | None) -> DataFrame:
         """Logical state of ``version`` restricted to ``buckets`` (all when
-        None), MoR deltas resolved — the per-bucket unit of changes_between."""
+        None), MoR deltas resolved at BUCKET granularity: only buckets in
+        ``_resolve_buckets`` (unmerged non-tombstone deltas) pay the
+        key-resolution; every other bucket — including tombstone-only ones
+        — scans its base files plain. The per-bucket unit of
+        changes_between and the body of read/read_buckets."""
         entries = self._entries(version, buckets=buckets)
-        if not any(e.get("delta") for e in entries):
-            return self._read_files(entries, version)
-        return self._resolve(self._read_files(entries, version, with_op=True))
+        rb = self._resolve_buckets(entries)
+        plain = [
+            e
+            for e in entries
+            if e["bucket"] not in rb and not e.get("tombstone")
+        ]
+        if not rb:
+            return self._read_files(plain, version)
+        need = [e for e in entries if e["bucket"] in rb]
+        resolved = self._resolve(self._read_files(need, version, with_op=True))
+        if not plain:
+            return resolved
+        return self._read_files(plain, version).unionByName(resolved)
 
     def changes_between(
         self,
@@ -559,10 +596,14 @@ class LakeTable:
         )
 
     def delta_file_counts(self) -> dict[int, int]:
-        """Per-bucket count of unmerged delta files (compaction signal)."""
+        """Per-bucket count of unmerged delta files (compaction signal).
+        Retained tombstone files are excluded: they are compact's OUTPUT
+        (at most one per bucket per compaction), not work for it —
+        counting them would make auto-compact re-target already-compacted
+        buckets every merge, a no-op commit-check per batch."""
         out: dict[int, int] = {}
         for e in self.manifest()["files"]:
-            if e.get("delta"):
+            if e.get("delta") and not e.get("tombstone"):
                 out[e["bucket"]] = out.get(e["bucket"], 0) + 1
         return out
 

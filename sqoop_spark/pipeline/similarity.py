@@ -605,7 +605,28 @@ def ivf_search_stored(
         r["centroid_id"]
         for r in probes.select("centroid_id").distinct().collect()
     )
-    index = spark.read.parquet(path).filter(F.col("centroid_id").isin(probed))
+    # Open ONLY the probed lists' directories (with basePath so the
+    # partition column survives): Spark's partition discovery over the
+    # whole index root lists all K directories — at K=4096 that listing
+    # dominated the query wall 5× over the actual scan. One driver-side
+    # listStatus of the root (a single RPC) guards against inverted lists
+    # that were never written (a duplicate-vector centroid can absorb
+    # another's list), then the scan's file index is O(probes), not O(K).
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    existing = {st.getPath().getName() for st in fs.listStatus(root)}
+    dirs = [
+        f"{path}/centroid_id={c}"
+        for c in probed
+        if f"centroid_id={c}" in existing
+    ]
+    if not dirs:
+        raise ValueError(
+            f"ivf_search_stored: none of the probed centroids {probed} "
+            f"have stored inverted lists under {path}"
+        )
+    index = spark.read.option("basePath", path).parquet(*dirs)
     scored = (
         index.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -861,3 +861,73 @@ def test_cli_replicate_lake_to_lake(spark, scratch, capsys):
     assert _table_state(dst) == _table_state(src) == {
         1: (1, "a"), 2: (10, "b2"), 3: (11, "c")
     }
+
+
+def test_tombstone_only_buckets_read_plain(spark, scratch):
+    """After compact() retains delete tombstones, a bucket whose only
+    deltas are tombstones must (a) read as a PLAIN base scan — no identity
+    resolve, no tombstone files opened, (b) keep the zone-map file skip in
+    read_since, (c) drop out of the auto-compact signal, and (d) still
+    suppress a late lower-seq upsert once a NEW delta re-touches the
+    bucket (the reason tombstones are retained at all)."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, f"{scratch}/tomb", schema, ["k"], num_buckets=2,
+        properties={"order_column": "seq"},
+    )
+    t.append(spark.createDataFrame(
+        [(k, k, f"v{k}") for k in range(10)], schema
+    ), batch_id=0)
+    # delete keys 0 and 1 (they hash to either bucket; both buckets gain
+    # real deltas) at seq 100/101, then compact: tombstones are RETAINED
+    op_schema = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    t.append_delta(spark.createDataFrame(
+        [(0, 100, "x", "delete"), (1, 101, "x", "delete")], op_schema
+    ))
+    t.compact()
+    entries = t.manifest()["files"]
+    tomb = [e for e in entries if e.get("tombstone")]
+    assert tomb and all(e.get("delta") for e in tomb)
+    assert t.delta_file_counts() == {}, "tombstones are not compaction work"
+
+    def tail(p):
+        return "/".join(p.replace("\\", "/").split("/")[-3:])
+
+    base_names = {tail(e["path"]) for e in entries if not e.get("delta")}
+    # (a) plain scan: only base files open; deleted keys stay gone
+    got = t.read()
+    assert {tail(p) for p in got.inputFiles()} == base_names
+    assert {r.k for r in got.collect()} == set(range(2, 10))
+
+    # (b) zone-map pruning works again: a fresh append commit is the only
+    # thing a watermark read past the old data opens
+    t.append(spark.createDataFrame(
+        [(k, 200 + k, "new") for k in (20, 21)], schema
+    ), batch_id=1)
+    since = t.read_since("seq", 150)
+    new_names = {
+        tail(e["path"])
+        for e in t.manifest()["files"]
+        if not e.get("delta") and tail(e["path"]) not in base_names
+    }
+    assert {tail(p) for p in since.inputFiles()} == new_names
+    assert {tail(p) for p in since.inputFiles()} < base_names | new_names
+    assert {r.k for r in since.collect()} == {20, 21}
+
+    # (d) a late, LOWER-seq upsert of a tombstoned key re-enters through a
+    # new delta: the bucket resolves again and the tombstone still wins;
+    # a HIGHER-seq upsert legitimately resurrects its key
+    t.append_delta(spark.createDataFrame(
+        [(0, 50, "late", "upsert"), (1, 300, "back", "upsert")], op_schema
+    ))
+    rows = {r.k: (r.seq, r.v) for r in t.read().collect()}
+    assert 0 not in rows, "tombstone must suppress the lower-seq arrival"
+    assert rows[1] == (300, "back")
+    # and read_since over the resolved state sees the resurrected row only
+    assert {r.k for r in t.read_since("seq", 250).collect()} == {1}

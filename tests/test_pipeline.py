@@ -626,15 +626,11 @@ def test_ivf_stored_index_prunes_files_and_matches(spark, tmp_path):
         ).distinct().collect()
     }
     assert len(probed) < 8  # pruning is non-trivial on this fixture
-    scan = spark.read.parquet(path).filter(
-        F.col("centroid_id").isin(sorted(probed))
-    )
-    # input_file_name() records the files the EXECUTED scan actually read
-    # (DataFrame.inputFiles() is pre-pruning logical metadata)
-    opened = {
-        r[0] for r in scan.select(F.input_file_name()).distinct().collect()
-    }
-    assert opened, "scan read no files"
+    # the SEARCH plan itself must list only probed directories' files —
+    # ivf_search_stored opens the probed lists directly (basePath read),
+    # so the scan's file index never even enumerates unprobed lists
+    opened = {f for f in got.inputFiles() if "/centroid_id=" in f}
+    assert opened, "search plan lists no index files"
     for f in opened:
         assert any(f"centroid_id={c}/" in f for c in probed), f
     # one file per centroid directory (the repartition-by-centroid contract)
