@@ -555,7 +555,11 @@ def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, index = ivf_index(
         emb, n_centroids=8, hash_fn="sha256", method="pandas"
     )
-    path = tempfile.mkdtemp(prefix="sqoop_spark_ivf_") + "/index"
+    import atexit
+
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_ivf_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = f"{tmp}/index"
     ivf_store_index(cents, index, path)
     out = ivf_search_stored(
         spark, path, emb.filter(F.col("vec_id") < 5), k=3, n_probes=2

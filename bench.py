@@ -276,10 +276,12 @@ def ivf_large_k(spark) -> dict:
     ivf_store_index(cents, index, store_path)
     store = time.time() - t0
     t0 = time.time()
-    stored8 = ivf_search_stored(
-        spark, store_path, queries, k=TOPK, n_probes=8
-    ).collect()
+    stored_df = ivf_search_stored(spark, store_path, queries, k=TOPK, n_probes=8)
+    stored8 = stored_df.collect()
     q_st8 = time.time() - t0
+    # the I/O-pruning evidence: fraction of the K inverted-list files the
+    # search plan even lists (one file per list — the store contract)
+    n_opened = len({f for f in stored_df.inputFiles() if "/centroid_id=" in f})
 
     truth = {(r.query_id, r.neighbor_id) for r in exact}
     recall = sum((r.query_id, r.neighbor_id) in truth for r in approx) / len(truth)
@@ -301,6 +303,7 @@ def ivf_large_k(spark) -> dict:
         "stored_query_sec_p8": round(q_st8, 3),
         "stored_speedup_vs_exact_p8": round(exact_wall / q_st8, 2),
         "stored_recall_at_10_p8": round(recall8, 4),
+        "stored_files_opened_frac": round(n_opened / K, 5),
     }
 
 
