@@ -555,17 +555,20 @@ def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, index = ivf_index(
         emb, n_centroids=8, hash_fn="sha256", method="pandas"
     )
-    import atexit
-
     tmp = tempfile.mkdtemp(prefix="sqoop_spark_ivf_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     path = f"{tmp}/index"
     ivf_store_index(cents, index, path)
     out = ivf_search_stored(
         spark, path, emb.filter(F.col("vec_id") < 5), k=3, n_probes=2
     )
-    return out.select(
-        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    return _materialize_and_clean(
+        out.select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cosine", 6).alias("cosine"),
+        ),
+        tmp,
     )
 
 

@@ -90,8 +90,16 @@ def resolve_password(args) -> str | None:
                 f"(mode {mode:o}); chmod 600 recommended.",
                 file=sys.stderr,
             )
-        with open(pf) as f:
-            return f.read().rstrip("\r\n")
+        with open(pf, newline="") as f:  # no universal-newline rewriting
+            data = f.read()
+        # exactly ONE trailing newline stripped (the editor footgun), not
+        # every trailing CR/LF — a password legitimately ending in a
+        # newline must stay expressible via a doubled final newline
+        if data.endswith("\r\n"):
+            return data[:-2]
+        if data.endswith(("\n", "\r")):
+            return data[:-1]
+        return data
     return os.environ.get(PASSWORD_ENV_VAR)
 
 
@@ -697,12 +705,20 @@ def cmd_replicate(args) -> int:
     src = LakeTable(spark, args.source)
 
     if args.connect:
-        from sqoop_spark.sources.jdbc import dbapi_factory_for_url, jdbc_apply_changes
+        from sqoop_spark.sources.jdbc import (
+            dbapi_factory_for_url,
+            jdbc_apply_changes,
+            jdbc_full_resync,
+        )
 
         if not args.target_table:
             raise SystemExit("replicate: --target-table is required with --connect")
         factory = dbapi_factory_for_url(args.connect)
         key_cols = src.key_columns
+        # single-writer stores get a single writer connection by default
+        num_conns = args.num_connections
+        if num_conns is None:
+            num_conns = 1 if args.dialect == "sqlite" else 4
 
         def apply_fn(version, diff):
             jdbc_apply_changes(
@@ -711,10 +727,23 @@ def cmd_replicate(args) -> int:
                 args.target_table,
                 key_cols,
                 dialect=args.dialect,
-                num_connections=args.num_connections,
+                num_connections=num_conns,
             )
 
-        n = follow_changes(src, store, args.job, apply_fn)
+        def bootstrap_fn(version, snapshot):
+            # first pass / expired watermark: truncate-and-load the replica
+            # (the JDBC analog of replicate_to_table's snapshot resync)
+            jdbc_full_resync(
+                snapshot,
+                factory,
+                args.target_table,
+                dialect=args.dialect,
+                num_connections=num_conns,
+            )
+
+        n = follow_changes(
+            src, store, args.job, apply_fn, bootstrap_fn=bootstrap_fn
+        )
     else:
         if not args.target:
             raise SystemExit("replicate: one of --target/--connect is required")
@@ -1111,8 +1140,10 @@ def build_parser() -> argparse.ArgumentParser:
     rep.add_argument("--target-table", help="replica table name (with --connect)")
     rep.add_argument("--dialect", default="sqlite",
                      help="vendor upsert dialect for --connect (mysql/sqlite)")
-    rep.add_argument("--num-connections", type=int, default=4,
-                     help="parallel connections against the JDBC replica")
+    rep.add_argument("--num-connections", type=int, default=None,
+                     help="parallel connections against the JDBC replica "
+                          "(default 4; 1 for single-writer dialects like "
+                          "sqlite)")
     rep.add_argument("--job", required=True,
                      help="consumer name — its watermark resumes each pass")
     rep.add_argument("--job-store", default=".sqoop_spark_jobs")

@@ -147,6 +147,14 @@ def cosine_topk_blas(
 
     spark = corpus.sparkSession
     qrows = queries.select(id_col, vec_col).collect()
+    id_type_q = dict(queries.dtypes)[id_col]
+    if not qrows:
+        # the pair-join twin returns empty here; np.stack([]) would raise
+        return spark.createDataFrame(
+            [],
+            f"query_id {id_type_q}, neighbor_id {id_type_q}, "
+            "rank int, cosine double",
+        )
     qids = [r[0] for r in qrows]
     Q = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
     bc = spark.sparkContext.broadcast((qids, Q, np.linalg.norm(Q, axis=1)))
@@ -605,6 +613,13 @@ def ivf_search_stored(
         r["centroid_id"]
         for r in probes.select("centroid_id").distinct().collect()
     )
+    if not probed:  # empty query set probes nothing — empty result
+        id_type = dict(queries.dtypes)[id_col]
+        return spark.createDataFrame(
+            [],
+            f"query_id {id_type}, neighbor_id {id_type}, "
+            "rank int, cosine double",
+        )
     # Open ONLY the probed lists' directories (with basePath so the
     # partition column survives): Spark's partition discovery over the
     # whole index root lists all K directories — at K=4096 that listing

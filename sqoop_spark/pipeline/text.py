@@ -40,10 +40,19 @@ def _count_occurrences(text: Column, token: str) -> Column:
 
 #: GPT-2-style pre-tokenizer pattern: contraction suffixes, space-prefixed
 #: letter runs, digit runs, punctuation runs, whitespace runs. Uses only
-#: constructs Java regex (Spark) and RE2 (DuckDB) interpret identically
-#: (\p{L}/\p{N} unicode classes, non-capturing alternation) — verified
-#: token-for-token across engines in tests and by the driver oracle.
-BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+#: constructs Java regex (Spark), RE2 (DuckDB) and Python's ``regex``
+#: module interpret identically — \p{L}/\p{N} unicode classes,
+#: non-capturing alternation, and an EXPLICIT ASCII whitespace class:
+#: a bare ``\s`` is ASCII-only in Java/RE2 but Unicode-aware in Python's
+#: ``regex`` module, so NBSP/U+2000-range whitespace would tokenize
+#: differently between the Spark/DuckDB side and the driver-side
+#: trainer/encoder. Verified token-for-token across engines in tests
+#: (incl. an NBSP fixture) and by the driver oracle.
+_BPE_WS = r" \t\n\x0B\f\r"
+BPE_REGEX = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{_BPE_WS}\p{{L}}\p{{N}}]+|[{_BPE_WS}]+"
+)
 
 
 def token_count(

@@ -69,15 +69,39 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     session = builder.getOrCreate()
-    if hive_metastore and (
-        session.conf.get("spark.sql.catalogImplementation", "in-memory")
-        != "hive"
-    ):
+    if hive_metastore:
         from sqoop_spark.errors import EngineError
 
-        raise EngineError(
-            "hive metastore requested but the existing SparkSession in this "
-            "process was built without Hive support (the catalog is fixed "
-            "at JVM start) — run the hive-import in its own process"
-        )
+        if (
+            session.conf.get("spark.sql.catalogImplementation", "in-memory")
+            != "hive"
+        ):
+            raise EngineError(
+                "hive metastore requested but the existing SparkSession in "
+                "this process was built without Hive support (the catalog "
+                "is fixed at JVM start) — run the hive-import in its own "
+                "process"
+            )
+
+        # getOrCreate silently DROPS static confs on an existing session:
+        # a prior Hive session rooted at a different directory would pass
+        # the catalog check and publish into the WRONG metastore. Compare
+        # the session's actual warehouse root with the requested one.
+        def _norm(p: str) -> str:
+            for pre in ("file://", "file:"):
+                if p.startswith(pre):
+                    p = p[len(pre):]
+                    break
+            return os.path.abspath(p).rstrip("/")
+
+        want = os.path.join(os.path.abspath(hive_metastore), "warehouse")
+        got = session.conf.get("spark.sql.warehouse.dir", "")
+        if _norm(got) != _norm(want):
+            raise EngineError(
+                "hive metastore requested at "
+                f"{os.path.abspath(hive_metastore)!r} but the existing "
+                f"SparkSession in this process is rooted at {got!r} (the "
+                "warehouse/metastore location is fixed at JVM start) — "
+                "run the hive-import in its own process"
+            )
     return session

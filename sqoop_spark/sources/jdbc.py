@@ -528,6 +528,42 @@ def jdbc_export(
     df.foreachPartition(_run)
 
 
+def jdbc_full_resync(
+    snapshot,
+    conn_factory: Callable[[], Any],
+    table: str,
+    dialect: str = "sqlite",
+    statements_per_transaction: int = DEFAULT_STATEMENTS_PER_TRANSACTION,
+    num_connections: int | None = None,
+) -> None:
+    """Truncate-and-load resync of a JDBC replica from a source snapshot —
+    the bootstrap/expiry path of outbound replication (the JDBC analog of
+    ``replicate_to_table``'s snapshot-plus-anti-join resync): every
+    replica row is deleted first (rows deleted at the source while the
+    consumer was not tracking must not survive), then the snapshot lands
+    through the batched INSERT path. Idempotent under crash-retry: the
+    consumer's watermark is saved only AFTER a completed resync, so a
+    crash anywhere in here re-runs the whole delete+load on the next
+    pass."""
+    conn = conn_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(f"DELETE FROM {table}")
+        conn.commit()
+    finally:
+        conn.close()
+    if num_connections is not None:
+        snapshot = snapshot.coalesce(num_connections)
+    jdbc_export(
+        snapshot,
+        conn_factory,
+        table,
+        mode="insert",
+        dialect=dialect,
+        statements_per_transaction=statements_per_transaction,
+    )
+
+
 def jdbc_apply_changes(
     diff,
     conn_factory: Callable[[], Any],
@@ -556,32 +592,39 @@ def jdbc_apply_changes(
 
     if num_connections is not None:
         diff = diff.coalesce(num_connections)
-    upserts = diff.filter(F.col("_change") != "delete").drop("_change")
-    jdbc_export(
-        upserts,
-        conn_factory,
-        table,
-        mode="allowinsert",
-        update_key=",".join(key_cols),
-        dialect=dialect,
-        statements_per_transaction=statements_per_transaction,
-    )
-    stmt = delete_statement(table, key_cols)
-    n_keys = len(key_cols)
-
-    def _run(rows):
-        export_partition(
-            rows,
+    # The diff is a full-outer join over the changed buckets' resolved
+    # states — materialize it ONCE for the two legs instead of recomputing
+    # that join for each (upserts, then deletes).
+    diff = diff.persist()
+    try:
+        upserts = diff.filter(F.col("_change") != "delete").drop("_change")
+        jdbc_export(
+            upserts,
             conn_factory,
-            lambda n: stmt,
-            n_keys,
-            records_per_statement=1,
+            table,
+            mode="allowinsert",
+            update_key=",".join(key_cols),
+            dialect=dialect,
             statements_per_transaction=statements_per_transaction,
         )
+        stmt = delete_statement(table, key_cols)
+        n_keys = len(key_cols)
 
-    diff.filter(F.col("_change") == "delete").select(*key_cols).foreachPartition(
-        _run
-    )
+        def _run(rows):
+            export_partition(
+                rows,
+                conn_factory,
+                lambda n: stmt,
+                n_keys,
+                records_per_statement=1,
+                statements_per_transaction=statements_per_transaction,
+            )
+
+        diff.filter(F.col("_change") == "delete").select(
+            *key_cols
+        ).foreachPartition(_run)
+    finally:
+        diff.unpersist()
 
 
 #: Statement heads that yield a result set (the eval read path); anything

@@ -211,6 +211,7 @@ def follow_changes(
     job: str,
     apply_fn,
     option_key: str = "changelog.last.version",
+    bootstrap_fn=None,
 ) -> int:
     """One resumable consumption pass: apply every content commit newer
     than the consumer's saved watermark, then advance it.
@@ -228,10 +229,16 @@ def follow_changes(
     starts from the current version: consumers bootstrap from a full
     read, not from replaying all history. A saved position that is no
     longer a usable diff base — 0 (bootstrapped before the first commit)
-    or expired by expire_snapshots — re-bootstraps the same way: the
-    watermark jumps to the current version with no diffs delivered, and
-    the consumer must re-sync with a full read (a 0 return with an
-    advanced saved version is that signal).
+    or expired by expire_snapshots — re-bootstraps the same way.
+
+    ``bootstrap_fn(version, snapshot_df)``: optional full-resync hook,
+    called (before the watermark save, same at-least-once layering) on
+    every bootstrap/re-bootstrap with the current snapshot — a consumer
+    that materializes state (a JDBC replica, say) MUST pass one, or the
+    base snapshot is silently never delivered and deletes that happened
+    across an expiry gap are lost. With a hook the bootstrap pass counts
+    as 1 applied batch; without one, a 0 return with an advanced saved
+    version is the re-sync-yourself signal.
     """
     opts = job_store.read(job)["options"]
     current = table.current_version() or 0
@@ -245,8 +252,14 @@ def follow_changes(
         or int(last) < 1
         or (current >= 1 and not table.manifest_exists(int(last)))
     ):
+        applied = 0
+        if bootstrap_fn is not None and current >= 1:
+            # full resync BEFORE the watermark save (at-least-once, same
+            # as the diff path): a crash mid-resync re-bootstraps
+            bootstrap_fn(current, table.read(current))
+            applied = 1
         job_store.update(job, **{option_key: current})
-        return 0
+        return applied
     applied = 0
     for v, diff in iter_changes(table, int(last), current):
         apply_fn(v, diff)

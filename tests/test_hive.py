@@ -56,8 +56,18 @@ except EngineError as e:
 assert cli.main(list(argv) + ["--hive-overwrite"]) == 0
 after = spark.table("default.repos").count()
 
+# a DIFFERENT metastore directory in the same process must raise:
+# getOrCreate would silently reuse this session (static confs dropped)
+# and publish into the wrong catalog
+try:
+    build_session(hive_metastore=os.path.join(scratch, "other_ms"))
+    wrong_dir = "no-error"
+except EngineError as e:
+    wrong_dir = "rooted-error" if "rooted at" in str(e) else str(e)
+
 print("HIVE_RESULT " + json.dumps({
     "rows": got, "want": want, "second": second, "after_overwrite": after,
+    "wrong_dir": wrong_dir,
     "catalog": spark.conf.get("spark.sql.catalogImplementation"),
     "metastore_on_disk": os.path.isdir(os.path.join(ms_dir, "metastore_db")),
 }))
@@ -93,6 +103,7 @@ def test_hive_import_publishes_to_embedded_metastore():
     assert got["rows"] == got["want"] > 0
     assert got["second"] == "exists-error"
     assert got["after_overwrite"] == got["rows"]
+    assert got["wrong_dir"] == "rooted-error"
     assert got["metastore_on_disk"]
 
 

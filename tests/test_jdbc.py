@@ -714,3 +714,106 @@ def test_cli_import_sqlite_table_mode_single_split_warning(spark, sqlite_db, tmp
     cap = capsys.readouterr()
     assert json.loads(cap.out)["events_seen"] == 200
     assert "falling back to a single split" in cap.err
+
+
+def test_jdbc_replica_bootstrap_and_expiry_resync(spark, scratch):
+    """follow_changes(bootstrap_fn=jdbc_full_resync): the FIRST pass
+    delivers the base snapshot itself (previously the JDBC replica
+    started empty and rows never touched again were permanently missing),
+    and a watermark expired under expire_snapshots triggers a
+    truncate-and-load resync that removes rows deleted across the
+    untracked gap — parity with replicate_to_table's lake-side resync."""
+    from pyspark.sql import types as T
+
+    from sqoop_spark.cdc.checkpoint import JobStore
+    from sqoop_spark.lake import LakeTable
+    from sqoop_spark.sources.jdbc import jdbc_apply_changes, jdbc_full_resync
+    from sqoop_spark.streaming import follow_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    src = LakeTable.create(
+        spark, f"{scratch}/bsrc", schema, ["k"], num_buckets=2,
+        properties={"order_column": "seq"},
+    )
+    db = os.path.join(scratch, "breplica.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, seq INTEGER, v TEXT)")
+    conn.commit()
+    conn.close()
+    factory = _file_factory(db)
+    store = JobStore(f"{scratch}/b_jobs")
+    store.create("boot", {})
+
+    def apply_fn(version, diff):
+        jdbc_apply_changes(diff, factory, "t", ["k"], num_connections=1)
+
+    def bootstrap_fn(version, snapshot):
+        jdbc_full_resync(snapshot, factory, "t", num_connections=1)
+
+    def replica_state():
+        return dict(
+            (k, (s, v))
+            for k, s, v in sqlite3.connect(db).execute(
+                "SELECT k, seq, v FROM t"
+            ).fetchall()
+        )
+
+    def run():
+        return follow_changes(
+            src, store, "boot", apply_fn, bootstrap_fn=bootstrap_fn
+        )
+
+    src.append(spark.createDataFrame([(1, 1, "a"), (2, 2, "b"), (3, 3, "c")], schema))
+    # first pass: bootstrap counts as one applied batch and the replica
+    # holds the full base snapshot — not an empty table plus a watermark
+    assert run() == 1
+    assert replica_state() == {1: (1, "a"), 2: (2, "b"), 3: (3, "c")}
+
+    op_schema = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    src.append_delta(spark.createDataFrame(
+        [(1, 10, "a2", "upsert"), (2, 11, "b", "delete")], op_schema
+    ))
+    assert run() == 1  # incremental diff, not a resync
+    assert replica_state() == {1: (10, "a2"), 3: (3, "c")}
+
+    # changes across an expiry gap: k=3 deleted, k=7 added, then every
+    # version the consumer could diff from is expired
+    src.append_delta(spark.createDataFrame(
+        [(3, 12, "c", "delete"), (7, 13, "g", "upsert")], op_schema
+    ))
+    src.compact()
+    src.expire_snapshots(keep_last=1)
+    assert run() == 1  # re-bootstrap resync, one applied batch
+    # the gap delete of k=3 must not survive in the replica
+    assert replica_state() == {1: (10, "a2"), 7: (13, "g")}
+    # steady state afterwards: nothing to do
+    assert run() == 0
+
+
+def test_password_file_exactly_one_trailing_newline(tmp_path):
+    """Exactly ONE trailing newline is stripped (the documented contract):
+    a password genuinely ending in a newline stays expressible via a
+    doubled final newline — rstrip would have collapsed it."""
+    from sqoop_spark.cli import build_parser, resolve_password
+
+    pf = tmp_path / "pw.txt"
+    cases = {
+        "secret": "secret",
+        "secret\n": "secret",
+        "secret\r\n": "secret",
+        "secret\n\n": "secret\n",
+        "secret\r\n\r\n": "secret\r\n",
+    }
+    for content, want in cases.items():
+        pf.write_text(content)
+        os.chmod(pf, 0o600)
+        args = build_parser().parse_args(
+            ["eval", "-e", "SELECT 1", "--password-file", str(pf)]
+        )
+        assert resolve_password(args) == want, repr(content)

@@ -1142,3 +1142,58 @@ def test_repetition_score_2gram_closed_form(spark):
         3: (0, 0.0, 0.0),
         4: (0, 0.0, 0.0),
     }
+
+
+def test_bpe_pretokenizer_unicode_whitespace_parity(spark):
+    """BPE_REGEX pins an EXPLICIT ASCII whitespace class: a bare \\s is
+    ASCII-only in Java (Spark) and RE2 (DuckDB) but Unicode-aware in
+    Python's `regex` module, so NBSP/U+2000-range whitespace used to
+    tokenize differently between the distributed trainer/encoder and the
+    driver twin. All three engines must now agree token-for-token."""
+    import duckdb
+    import regex as _re
+
+    from sqoop_spark.pipeline.text import BPE_REGEX, train_bpe_merges, train_bpe_merges_df
+
+    s = "café\u00a0costs 12\u2009euros,\u00a0ok?  \tdone"
+    py = _re.compile(BPE_REGEX).findall(s)
+    dd = duckdb.sql(
+        "select regexp_extract_all(?, ?)", params=[s, BPE_REGEX]
+    ).fetchone()[0]
+    jv = (
+        spark.createDataFrame([(s,)], "text string")
+        .select(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    assert py == dd == jv, (py, dd, jv)
+
+    # and the twin trainers still agree on an NBSP-bearing corpus
+    texts = [s, "plain ascii text here", s + " more café"]
+    want = train_bpe_merges(texts, n_merges=6)
+    got = train_bpe_merges_df(
+        spark.createDataFrame([(t,) for t in texts], "text string"), n_merges=6
+    )
+    assert got == want
+
+
+def test_cosine_topk_blas_empty_queries(spark):
+    """Empty query set: the BLAS path must return an empty frame like the
+    pair-join twin, not crash in np.stack; same for the stored IVF search."""
+    from sqoop_spark.pipeline import (
+        cosine_topk,
+        cosine_topk_blas,
+        ivf_index,
+        ivf_search_stored,
+        ivf_store_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    none = emb.filter(F.col("vec_id") < 0)
+    got = cosine_topk_blas(emb, none, k=3)
+    want = cosine_topk(emb, none, k=3)
+    assert got.count() == want.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        f.name for f in want.schema.fields
+    ]
