@@ -146,19 +146,20 @@ def cosine_topk_blas(
     import numpy as np
 
     spark = corpus.sparkSession
+    id_type = dict(corpus.dtypes)[id_col]
     qrows = queries.select(id_col, vec_col).collect()
-    id_type_q = dict(queries.dtypes)[id_col]
     if not qrows:
-        # the pair-join twin returns empty here; np.stack([]) would raise
+        # the pair-join twin returns empty here; np.stack([]) would raise.
+        # Types come from the CORPUS, same as the non-empty path — the
+        # schema must not flip with the row count.
         return spark.createDataFrame(
             [],
-            f"query_id {id_type_q}, neighbor_id {id_type_q}, "
+            f"query_id {id_type}, neighbor_id {id_type}, "
             "rank int, cosine double",
         )
     qids = [r[0] for r in qrows]
     Q = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
     bc = spark.sparkContext.broadcast((qids, Q, np.linalg.norm(Q, axis=1)))
-    id_type = dict(corpus.dtypes)[id_col]
     out_schema = (
         f"query_id {id_type}, neighbor_id {id_type}, cosine double"
     )
@@ -604,6 +605,12 @@ def ivf_search_stored(
     to ``ivf_search`` on the in-memory index (pytest-pinned)."""
     cents_df = spark.read.parquet(f"{path}.centroids")
     rows = cents_df.orderBy("centroid_id").collect()
+    if not rows:
+        # an index with zero centroids is broken storage, not an empty
+        # answer — stay loud (distinct from the empty-QUERY branch below)
+        raise ValueError(
+            f"ivf_search_stored: no centroids stored under {path}.centroids"
+        )
     assignp = _make_top_cents_udf(spark, [r["_kv"] for r in rows], n_probes)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     probes = q.withColumn(
@@ -613,11 +620,32 @@ def ivf_search_stored(
         r["centroid_id"]
         for r in probes.select("centroid_id").distinct().collect()
     )
-    if not probed:  # empty query set probes nothing — empty result
-        id_type = dict(queries.dtypes)[id_col]
+    if not probed:  # empty QUERY set probes nothing — empty result, with
+        # the same column types as the non-empty path: query_id from the
+        # queries frame, neighbor_id from the stored lists' footer schema
+        # (one footer read via the first list directory — not a full
+        # partition discovery over all K directories)
+        q_type = dict(queries.dtypes)[id_col]
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        first = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(root)
+            if st.getPath().getName().startswith("centroid_id=")
+        )
+        if not first:
+            raise ValueError(
+                f"ivf_search_stored: no inverted lists stored under {path}"
+            )
+        n_type = dict(
+            spark.read.option("basePath", path)
+            .parquet(f"{path}/{first[0]}")
+            .dtypes
+        )["neighbor_id"]
         return spark.createDataFrame(
             [],
-            f"query_id {id_type}, neighbor_id {id_type}, "
+            f"query_id {q_type}, neighbor_id {n_type}, "
             "rank int, cosine double",
         )
     # Open ONLY the probed lists' directories (with basePath so the

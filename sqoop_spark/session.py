@@ -88,11 +88,16 @@ def build_session(
         # the catalog check and publish into the WRONG metastore. Compare
         # the session's actual warehouse root with the requested one.
         def _norm(p: str) -> str:
+            from urllib.parse import unquote
+
             for pre in ("file://", "file:"):
                 if p.startswith(pre):
-                    p = p[len(pre):]
+                    p = unquote(p[len(pre):])
                     break
-            return os.path.abspath(p).rstrip("/")
+            # realpath: Spark may qualify the warehouse dir through a
+            # symlink-resolved form of the SAME directory — that must not
+            # spuriously raise
+            return os.path.realpath(os.path.abspath(p)).rstrip("/")
 
         want = os.path.join(os.path.abspath(hive_metastore), "warehouse")
         got = session.conf.get("spark.sql.warehouse.dir", "")

@@ -536,19 +536,27 @@ def jdbc_full_resync(
     statements_per_transaction: int = DEFAULT_STATEMENTS_PER_TRANSACTION,
     num_connections: int | None = None,
 ) -> None:
-    """Truncate-and-load resync of a JDBC replica from a source snapshot —
-    the bootstrap/expiry path of outbound replication (the JDBC analog of
-    ``replicate_to_table``'s snapshot-plus-anti-join resync): every
-    replica row is deleted first (rows deleted at the source while the
-    consumer was not tracking must not survive), then the snapshot lands
-    through the batched INSERT path. Idempotent under crash-retry: the
-    consumer's watermark is saved only AFTER a completed resync, so a
-    crash anywhere in here re-runs the whole delete+load on the next
-    pass."""
+    """Staged full resync of a JDBC replica from a source snapshot — the
+    bootstrap/expiry path of outbound replication (the JDBC analog of
+    ``replicate_to_table``'s snapshot-plus-anti-join resync), shaped like
+    the reference's ``--staging-table`` export
+    (mapreduce/ExportJobBase.java: load into staging, move in one final
+    transaction): the snapshot lands in ``<table>__resync_staging``
+    through the distributed batched INSERT path while readers keep the
+    old replica, then ONE transaction swaps the contents
+    (``DELETE FROM t; INSERT INTO t SELECT * FROM staging``) — rows
+    deleted at the source while the consumer was not tracking disappear,
+    and concurrent readers never observe the hours-empty window a
+    delete-then-reload would expose. Idempotent under crash-retry: the
+    consumer's watermark is saved only AFTER a completed resync, the
+    orphaned staging table is dropped on the next attempt, and a crash
+    inside the swap transaction rolls back to the old replica state."""
+    staging = f"{table}__resync_staging"
     conn = conn_factory()
     try:
         cur = conn.cursor()
-        cur.execute(f"DELETE FROM {table}")
+        cur.execute(f"DROP TABLE IF EXISTS {staging}")
+        cur.execute(f"CREATE TABLE {staging} AS SELECT * FROM {table} WHERE 1=0")
         conn.commit()
     finally:
         conn.close()
@@ -557,11 +565,21 @@ def jdbc_full_resync(
     jdbc_export(
         snapshot,
         conn_factory,
-        table,
+        staging,
         mode="insert",
         dialect=dialect,
         statements_per_transaction=statements_per_transaction,
     )
+    conn = conn_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(f"DELETE FROM {table}")
+        cur.execute(f"INSERT INTO {table} SELECT * FROM {staging}")
+        conn.commit()
+        cur.execute(f"DROP TABLE {staging}")
+        conn.commit()
+    finally:
+        conn.close()
 
 
 def jdbc_apply_changes(

@@ -789,9 +789,21 @@ def test_jdbc_replica_bootstrap_and_expiry_resync(spark, scratch):
     ))
     src.compact()
     src.expire_snapshots(keep_last=1)
+    # simulate a prior resync crashed mid-load: an orphaned staging table
+    # must be dropped and rebuilt, not break or double the reload
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t__resync_staging (k INTEGER, seq INTEGER, v TEXT)")
+    conn.execute("INSERT INTO t__resync_staging VALUES (999, 999, 'orphan')")
+    conn.commit()
+    conn.close()
     assert run() == 1  # re-bootstrap resync, one applied batch
     # the gap delete of k=3 must not survive in the replica
     assert replica_state() == {1: (10, "a2"), 7: (13, "g")}
+    # the staged swap cleaned up after itself
+    left = sqlite3.connect(db).execute(
+        "SELECT name FROM sqlite_master WHERE name LIKE '%staging%'"
+    ).fetchall()
+    assert left == []
     # steady state afterwards: nothing to do
     assert run() == 0
 

@@ -1178,9 +1178,11 @@ def test_bpe_pretokenizer_unicode_whitespace_parity(spark):
     assert got == want
 
 
-def test_cosine_topk_blas_empty_queries(spark):
-    """Empty query set: the BLAS path must return an empty frame like the
-    pair-join twin, not crash in np.stack; same for the stored IVF search."""
+def test_cosine_topk_blas_empty_queries(spark, tmp_path):
+    """Empty query set: the BLAS path and the stored IVF search must
+    return an empty frame like the pair-join twin — same COLUMN TYPES as
+    their non-empty results (the schema must not flip with the row
+    count), not crash in np.stack or raise a misleading index error."""
     from sqoop_spark.pipeline import (
         cosine_topk,
         cosine_topk_blas,
@@ -1193,7 +1195,24 @@ def test_cosine_topk_blas_empty_queries(spark):
     none = emb.filter(F.col("vec_id") < 0)
     got = cosine_topk_blas(emb, none, k=3)
     want = cosine_topk(emb, none, k=3)
+    full = cosine_topk_blas(emb, emb.filter(F.col("vec_id") < 2), k=3)
+    def nt(df):
+        return [(f.name, f.dataType) for f in df.schema.fields]
+
     assert got.count() == want.count() == 0
+    # empty and non-empty agree on names AND types (nullability of an
+    # empty frame is irrelevant to union compatibility)
+    assert nt(got) == nt(full)
     assert [f.name for f in got.schema.fields] == [
         f.name for f in want.schema.fields
     ]
+
+    cents, index = ivf_index(emb, n_centroids=4, method="pandas")
+    path = str(tmp_path / "ivf_empty")
+    ivf_store_index(cents, index, path)
+    got_st = ivf_search_stored(spark, path, none, k=3, n_probes=2)
+    full_st = ivf_search_stored(
+        spark, path, emb.filter(F.col("vec_id") < 2), k=3, n_probes=2
+    )
+    assert got_st.count() == 0
+    assert nt(got_st) == nt(full_st)
