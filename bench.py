@@ -388,11 +388,23 @@ def main() -> None:
     # already uses.
     spark = _build(CPUS)
     tail = stage_events(spark, n_events)
+    # Untimed warm-up on a 1/16 tail: a fresh JVM's first replay pays JIT +
+    # codegen + python-worker start (measured 92s vs 28s steady-state for
+    # identical passes), and best-of-2 cold passes still under-measures —
+    # pass 2 carries residual warm-up (34s vs 28s on pass 3).
+    warm_tail = stage_events(spark, max(1, n_events // 16))
+    replay_run(spark, warm_tail, max(1, n_events // 16), "warmup")
+    replay_run(spark, warm_tail, max(1, n_events // 16), "warmup", "mor")
     cow_walls, mor_walls = [], []
     for _ in range(2):
         cow_walls.append(replay_run(spark, tail, n_events, f"run{CPUS}"))
         # merge-on-read replay+compact on the same tail (the many-batch
         # scale strategy; at 2 batches CoW wins — see README)
+        mor_walls.append(replay_run(spark, tail, n_events, "mor_run", "mor"))
+    # Adaptive third pair: two warm passes that still disagree by >25%
+    # mean a steal burst hit one of them — one more pair resolves which.
+    if max(cow_walls) / min(cow_walls) > 1.25 or max(mor_walls) / min(mor_walls) > 1.25:
+        cow_walls.append(replay_run(spark, tail, n_events, f"run{CPUS}"))
         mor_walls.append(replay_run(spark, tail, n_events, "mor_run", "mor"))
     headline_wall = min(cow_walls)
     results: dict[str, float] = {"replay": round(headline_wall, 3)}
