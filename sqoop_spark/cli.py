@@ -191,17 +191,6 @@ def cmd_import(args) -> int:
     from sqoop_spark.lake import LakeTable
     from sqoop_spark.schema import apply_type_mapping
 
-    if getattr(args, "as_sequencefile", False):
-        # FileLayout.SequenceFile (SqoopOptions.java:86-92): a Hadoop-era
-        # container with no Spark value — refused loudly, not silently
-        # absent (SURVEY §2.2 documents the decision).
-        from sqoop_spark.errors import EngineError
-
-        raise EngineError(
-            "SequenceFile layout is not supported by this engine; use the "
-            "parquet lake format (default), --as-textfile via export "
-            "--format text, or Avro conversions (sqoop_spark.avro)"
-        )
     spark = _session(args)
     df = _load_source(spark, args)
     # For --connect imports, --columns/--where are already pushed into the
@@ -216,6 +205,24 @@ def cmd_import(args) -> int:
     if args.map_column:
         mapping = dict(kv.split("=", 1) for kv in args.map_column.split(","))
         df = apply_type_mapping(df, mapping)
+
+    if getattr(args, "as_sequencefile", False):
+        # FileLayout.SequenceFile (SqoopOptions.java:86-92,
+        # mapreduce/SequenceFileImportMapper.java): rows land as
+        # SequenceFile<LongWritable, Text> part files in the target dir —
+        # a file-layout import that bypasses the lake table, the same way
+        # the reference's sequencefile layout bypasses hive/parquet
+        # handling. The Text value is the record's delimited string form
+        # (see sqoop_spark/sequencefile.py for why not a generated-class
+        # Writable).
+        from sqoop_spark.sequencefile import write_sequencefile
+
+        write_sequencefile(df, args.target)
+        print(json.dumps({
+            "rows": df.count(), "target": args.target,
+            "format": "sequencefile",
+        }))
+        return 0
 
     if LakeTable.exists(args.target):
         table = LakeTable.load(spark, args.target)
@@ -448,6 +455,20 @@ def cmd_export(args) -> int:
 
         write_avro(src, args.target_table, compression=args.compress)
         print(json.dumps({"rows": src.count(), "format": "avro"}))
+        return 0
+    if args.format == "sequencefile":
+        from sqoop_spark.sequencefile import write_sequencefile
+
+        write_sequencefile(
+            src,
+            args.target_table,
+            field_delim=args.field_delim,
+            enclosed_by=args.enclosed_by,
+            escaped_by=args.escaped_by,
+            null_string=args.null_string,
+            compression=args.compress,
+        )
+        print(json.dumps({"rows": src.count(), "format": "sequencefile"}))
         return 0
     if args.format == "text":
         write_delimited(
@@ -1038,7 +1059,8 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--password-file", help="read the connection password from this file (chmod 600; one trailing newline stripped)")
     imp.add_argument("--jdbc-driver", help="JDBC driver class name")
     imp.add_argument("--as-sequencefile", action="store_true",
-                     help="refused with an explanation (legacy layout)")
+                     help="file-layout import: SequenceFile<LongWritable, "
+                     "Text> part files at the target (no lake table)")
     imp.add_argument("--validate", action="store_true",
                      help="RowCountValidator: source slice count must match "
                      "rows transferred (aborts on mismatch)")
@@ -1076,7 +1098,7 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["upsert", "updateonly", "allowinsert"])
     exp.add_argument("--order-column", default="event_seq")
     exp.add_argument("--format", default="parquet",
-                     choices=["parquet", "text", "avro"])
+                     choices=["parquet", "text", "avro", "sequencefile"])
     exp.add_argument("--field-delim", default=",")
     exp.add_argument("--enclosed-by")
     exp.add_argument("--escaped-by")

@@ -12,8 +12,9 @@ retain meaning on Spark:
 - parquet         — ``df.write.parquet`` (the lake table's native format).
 - avro            — ``df.write.format("avro")`` behind an import-try (the
   spark-avro module is not bundled with pip pyspark).
-- sequencefile    — not reproduced (Hadoop-era container with no Spark
-  value; SURVEY.md §2.2 marks it legacy).
+- sequencefile    — pure-Python ``SequenceFile<LongWritable, Text>``
+  container writer/reader (sqoop_spark/sequencefile.py; JVM-readback
+  pinned), the ``--as-sequencefile`` layout.
 
 Compression follows CodecMap (io/CodecMap.java:39-120): identifier →
 Spark codec name; unknown identifiers raise the reference's wording.
@@ -75,6 +76,11 @@ def write_delimited(
         .option("sep", field_delim)
         .option("nullValue", null_string)
         .option("emptyValue", "")
+        # Sqoop's FieldFormatter never trims (no trim path in
+        # lib/FieldFormatter.java); Spark's CSV writer trims trailing
+        # whitespace unless told otherwise
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
     )
     if enclosed_by is not None:
         writer = writer.option("quote", enclosed_by).option(
