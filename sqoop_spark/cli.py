@@ -577,14 +577,63 @@ def _hive_publish(spark: SparkSession, table, args) -> dict:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
     qualified = f"{db}.{name}"
     exists = spark.catalog.tableExists(qualified)
+    pkey = (
+        clean_identifier(args.hive_partition_key)
+        if getattr(args, "hive_partition_key", None)
+        else None
+    )
+    pval = getattr(args, "hive_partition_value", None)
+    if (pkey is None) != (pval is None):
+        raise EngineError(
+            "--hive-partition-key and --hive-partition-value go together"
+        )
+    df = table.read()
+    if pkey is not None:
+        # --hive-partition-key/-value (tool/BaseSqoopTool.java hive
+        # partition options; TableDefWriter emits PARTITIONED BY and
+        # HiveImport LOAD DATAs into the static partition). The publish
+        # is partition-SCOPED: a republish replaces only this partition
+        # (the snapshot is that partition's complete state — the same
+        # replace contract as the unpartitioned publish, so no
+        # --hive-overwrite needed; other partitions are untouched).
+        if pkey in df.columns:
+            raise EngineError(
+                f"partition key {pkey} collides with an imported column"
+            )
+        from pyspark.sql import functions as F
+
+        if not exists:
+            (
+                df.withColumn(pkey, F.lit(str(pval)))
+                .write.partitionBy(pkey)
+                .format("parquet")
+                .saveAsTable(qualified)
+            )
+        else:
+            cols = ", ".join(
+                f"`{c}`" for c in spark.table(qualified).columns if c != pkey
+            )
+            df.createOrReplaceTempView("_sqoop_spark_hive_publish")
+            lit = str(pval).replace("'", "''")
+            # a STATIC partition spec makes INSERT OVERWRITE replace only
+            # that partition, independent of partitionOverwriteMode
+            spark.sql(
+                f"INSERT OVERWRITE TABLE {qualified} "
+                f"PARTITION (`{pkey}`='{lit}') "
+                f"SELECT {cols} FROM _sqoop_spark_hive_publish"
+            )
+        return {
+            "hive_table": qualified,
+            "hive_partition": f"{pkey}={pval}",
+            "hive_overwritten": exists,
+        }
     if exists and not args.hive_overwrite:
         raise EngineError(
             f"Hive table {qualified} already exists; pass --hive-overwrite "
             "to replace it with the current snapshot"
         )
     (
-        table.read()
-        .write.mode("overwrite" if exists else "errorifexists")
+        df.write.mode("overwrite" if exists else "errorifexists")
         .format("parquet")
         .saveAsTable(qualified)
     )
@@ -1078,6 +1127,12 @@ def build_parser() -> argparse.ArgumentParser:
                      "current snapshot (otherwise an existing table errors)")
     imp.add_argument("--hive-metastore", default=".sqoop_spark_hive",
                      help="embedded metastore root directory")
+    imp.add_argument("--hive-partition-key",
+                     help="static Hive partition column for the published "
+                     "table (with --hive-partition-value)")
+    imp.add_argument("--hive-partition-value",
+                     help="value of --hive-partition-key this snapshot "
+                     "lands in; a republish replaces only this partition")
     imp.set_defaults(fn=cmd_import)
 
     mrg = sub.add_parser("merge", help="two-dataset newest-wins merge")

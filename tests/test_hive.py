@@ -56,6 +56,24 @@ except EngineError as e:
 assert cli.main(list(argv) + ["--hive-overwrite"]) == 0
 after = spark.table("default.repos").count()
 
+# --hive-partition-key/-value: first publish creates the partitioned
+# table, a second value lands a NEW partition, republishing the first
+# value replaces ONLY that partition (other partitions untouched)
+pargv = ["import", "--table", f"{scratch}/src", "--target", f"{scratch}/lake2",
+         "--merge-key", "repo,path", "--num-buckets", "8",
+         "--check-column", "event_seq",
+         "--hive-import", "--hive-table", "repos_p", "--hive-metastore", ms_dir,
+         "--hive-partition-key", "load_dt"]
+assert cli.main(list(pargv) + ["--hive-partition-value", "2026-08-01"]) == 0
+p1 = spark.table("default.repos_p").where("load_dt='2026-08-01'").count()
+assert cli.main(list(pargv) + ["--hive-partition-value", "2026-08-02"]) == 0
+parts = spark.sql("SHOW PARTITIONS default.repos_p").count()
+# republish the first partition: row count per partition unchanged,
+# second partition still present
+assert cli.main(list(pargv) + ["--hive-partition-value", "2026-08-01"]) == 0
+p1_after = spark.table("default.repos_p").where("load_dt='2026-08-01'").count()
+p2_after = spark.table("default.repos_p").where("load_dt='2026-08-02'").count()
+
 # a DIFFERENT metastore directory in the same process must raise:
 # getOrCreate would silently reuse this session (static confs dropped)
 # and publish into the wrong catalog
@@ -68,6 +86,7 @@ except EngineError as e:
 print("HIVE_RESULT " + json.dumps({
     "rows": got, "want": want, "second": second, "after_overwrite": after,
     "wrong_dir": wrong_dir,
+    "p1": p1, "parts": parts, "p1_after": p1_after, "p2_after": p2_after,
     "catalog": spark.conf.get("spark.sql.catalogImplementation"),
     "metastore_on_disk": os.path.isdir(os.path.join(ms_dir, "metastore_db")),
 }))
@@ -105,6 +124,10 @@ def test_hive_import_publishes_to_embedded_metastore():
     assert got["after_overwrite"] == got["rows"]
     assert got["wrong_dir"] == "rooted-error"
     assert got["metastore_on_disk"]
+    # partitioned publish: two partitions exist, republish of one left
+    # both intact with per-partition row counts preserved
+    assert got["parts"] == 2
+    assert got["p1"] == got["p1_after"] == got["p2_after"] == got["rows"]
 
 
 def test_hive_session_mismatch_raises(spark):
