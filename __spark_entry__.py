@@ -23,6 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sqoop_spark.cdc.engine import CdcEngine
 from sqoop_spark.pipeline import (
@@ -379,6 +380,82 @@ def q_type_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "props": "CLOB",
             "ts": "TIMESTAMP",
         },
+    )
+
+
+def q_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--as-sequencefile layout end-to-end: orders written through the
+    pure-Python SequenceFile<LongWritable, Text> container
+    (sqoop_spark/sequencefile.py — LongWritable keys, Text values holding
+    the delimited record line, the SequenceFileImportMapper.java analog)
+    and parsed back. The value-hash oracle (plain SELECT of the same
+    columns) proves the container + DelimiterSet formatting round-trip is
+    lossless, not merely self-consistent."""
+    from sqoop_spark.sequencefile import read_sequencefile, write_sequencefile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_seq_")
+    path = f"{tmp}/orders_seq"
+    write_sequencefile(orders, path, enclosed_by='"', escaped_by="\\")
+    out = read_sequencefile(
+        spark, path, orders.schema, enclosed_by='"', escaped_by="\\"
+    ).withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
+    return _materialize_and_clean(out, tmp)
+
+
+def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog/WAL tail front end: events rendered as Debezium change-event
+    envelopes (before/after images, op c|r|u|d, source block with the log
+    position — the public CDC format for MySQL binlog / Postgres WAL
+    capture) and parsed back to the engine's change-event frame by
+    ``sources.debezium.parse_debezium`` (from_json FAILFAST, image picked
+    by op, order from source.pos). The DuckDB twin computes the same
+    frame directly from the table — value-hash equality proves the whole
+    envelope render+parse is lossless, including doubles and free-text
+    props through JSON escaping."""
+    from sqoop_spark.sources.debezium import parse_debezium
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    payload = ["event_id", "user_id", "event_type", "value", "props"]
+    row = F.struct(*payload)
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("event_type") == "signup", F.lit("r"))
+        .otherwise(F.lit("u"))
+    )
+    # events.ts is TIMESTAMP_NTZ in the parquet; cast through LTZ is
+    # value-preserving (session tz pinned UTC, sqoop_spark/session.py).
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    envelopes = ev.select(
+        F.to_json(
+            F.struct(
+                F.when(op == "d", row).alias("before"),
+                F.when(op != "d", row).alias("after"),
+                op.alias("op"),
+                ts_ms.alias("ts_ms"),
+                F.struct(
+                    F.lit("mysql").alias("connector"),
+                    F.lit("binlog.000001").alias("file"),
+                    F.col("event_id").alias("pos"),
+                    (ts_ms - F.lit(3)).alias("ts_ms"),
+                ).alias("source"),
+            )
+        ).alias("value")
+    )
+    row_schema = T.StructType([ev.schema[c] for c in payload])
+    out = parse_debezium(envelopes, row_schema)
+    return out.select(
+        *payload,
+        "op",
+        "event_seq",
+        F.unix_millis("event_ts").alias("ts_ms"),
     )
 
 
@@ -939,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_boolean": q_parse_boolean,
         "type_mapping": q_type_mapping,
         "avro_conversions": q_avro_conversions,
+        "sequencefile_roundtrip": q_sequencefile_roundtrip,
+        "debezium_parse": q_debezium_parse,
         "watermark_probe": q_watermark_probe,
         "hot_keys": q_hot_keys,
         "op_counts": q_op_counts,
@@ -1529,6 +1608,18 @@ SELECT event_id,
        epoch_ms(ts) AS ts,
        CAST(CAST(value AS DECIMAL(12,3)) AS VARCHAR) AS value_dec
 FROM events
+""",
+        "debezium_parse": """
+SELECT event_id, user_id, event_type, value, props,
+       CASE WHEN event_type='error' THEN 'delete' ELSE 'upsert' END AS op,
+       event_id AS event_seq,
+       epoch_ms(ts) AS ts_ms
+FROM events
+""",
+        "sequencefile_roundtrip": """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM orders
 """,
         "watermark_probe": f"""
 WITH ce AS ({ce})

@@ -1,3 +1,8 @@
+from sqoop_spark.sources.debezium import (  # noqa: F401
+    envelope_schema,
+    parse_debezium,
+    to_debezium,
+)
 from sqoop_spark.sources.freeform import (  # noqa: F401
     CONDITIONS_TOKEN,
     bounding_values,

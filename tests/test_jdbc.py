@@ -377,10 +377,15 @@ def test_cli_list_databases(tmp_path, capsys):
     assert capsys.readouterr().out.strip() == "db1"
 
 
-def test_cli_sequencefile_refused():
+def test_cli_sequencefile_missing_source_surfaces():
+    """--as-sequencefile is a real layout now (sqoop_spark/sequencefile.py;
+    CLI e2e in test_sequencefile.py) — a bad source path must surface as the
+    reader's error, not be masked by a layout refusal."""
+    from pyspark.errors import AnalysisException
+
     from sqoop_spark.cli import main
 
-    with pytest.raises(EngineError, match="SequenceFile layout is not supported"):
+    with pytest.raises(AnalysisException):
         main(["import", "--table", "/nope", "--target", "/nope2", "--as-sequencefile"])
 
 
