@@ -787,6 +787,26 @@ def _staged_append(spark: SparkSession, sf_dir: str):
     return LakeTable(spark, path), m
 
 
+def q_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online bucket-count migration (``LakeTable.rebucket`` — the
+    partition-spec-evolution problem, Iceberg's ``bucket(N, key)`` change)
+    under the full value hash: the staged 16-bucket replay table is cloned
+    (manifest paths are table-relative, so the clone is a plain file copy),
+    rebucketted to 64 in one atomic snapshot, and read back. The final
+    logical state must equal the straight newest-wins oracle — the layout
+    moved, the data did not. Tombstone carry + MoR-delta subsumption are
+    pinned in tests/test_lake.py."""
+    from sqoop_spark.lake import LakeTable
+
+    src, _j = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_rebucket_")
+    dst = f"{tmp}/repos"
+    shutil.copytree(src.path, dst)
+    t = LakeTable.load(spark, dst)
+    t.rebucket(64)
+    return _materialize_and_clean(t.read(), tmp)
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (Iceberg ``VERSION AS OF``): a CoW replay
     commits exactly one immutable snapshot per micro-batch, so
@@ -1038,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
+        "rebucket_replay": q_rebucket_replay,
         "time_travel": q_time_travel,
         "snapshot_history": q_snapshot_history,
         "dedup_first_arrival": q_dedup_first_arrival,
@@ -1637,6 +1658,7 @@ FROM ce GROUP BY repo HAVING count(*) > 100
 WITH ce AS ({ce})
 SELECT op, count(*) AS n_rows FROM ce GROUP BY op
 """,
+        "rebucket_replay": _FINAL_STATE_SQL.format(ce=_ce(_ADAPTIVE_BS_SQL)),
         "time_travel": f"""
 WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
 cut AS (SELECT CAST(floor(max(batch_id) / 2) AS BIGINT) AS mb FROM ce),

@@ -1032,12 +1032,22 @@ def cmd_maintain(args) -> int:
     if not LakeTable.exists(args.path):
         raise SystemExit(f"maintain: no lake table at {args.path}")
     out: dict = {}
-    needs_spark = args.compact or args.rewrite_small_files is not None
+    needs_spark = (
+        args.compact
+        or args.rewrite_small_files is not None
+        or args.rebucket is not None
+    )
     t = LakeTable(_session(args) if needs_spark else None, args.path)
     if args.compact:
         before = t.current_version()
         t.compact()
         out["compact"] = {"committed": t.current_version() != before}
+    if args.rebucket is not None:
+        before = t.current_version()
+        m = t.rebucket(args.rebucket)
+        out["rebucket"] = (
+            m["summary"] if m["version"] != before else {"noop": True}
+        )
     if args.rewrite_small_files is not None:
         m = t.rewrite_small_files(target_rows=args.rewrite_small_files)
         out["rewrite"] = m.get("summary", {}) if m["operation"] == "rewrite" else {
@@ -1052,7 +1062,7 @@ def cmd_maintain(args) -> int:
     if not out:
         raise SystemExit(
             "maintain: one of --compact/--rewrite-small-files/"
-            "--expire-snapshots/--remove-orphans required"
+            "--expire-snapshots/--remove-orphans/--rebucket required"
         )
     print(json.dumps(out, default=str))
     return 0
@@ -1234,6 +1244,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bin-pack base files smaller than TARGET_ROWS avg")
     mt.add_argument("--expire-snapshots", type=int, metavar="KEEP_LAST")
     mt.add_argument("--remove-orphans", type=float, metavar="OLDER_THAN_SECONDS")
+    mt.add_argument("--rebucket", type=int, metavar="NUM_BUCKETS",
+                    help="rewrite the table into NUM_BUCKETS hash buckets "
+                         "(one atomic snapshot; resolves MoR deltas and "
+                         "carries tombstones into their new buckets)")
     mt.set_defaults(fn=cmd_maintain)
 
     ev = sub.add_parser("eval", help="ad-hoc SQL")

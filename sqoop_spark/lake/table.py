@@ -714,6 +714,7 @@ class LakeTable:
         summary: dict | None,
         lineage: dict | None,
         schema_update: dict | None = None,
+        num_buckets: int | None = None,
     ) -> dict:
         m = self.manifest()
         fenced = list(m["fenced_batch_ids"])
@@ -728,7 +729,7 @@ class LakeTable:
             "operation": operation,
             "schema": schema_update or m["schema"],
             "key_columns": m["key_columns"],
-            "num_buckets": m["num_buckets"],
+            "num_buckets": num_buckets or m["num_buckets"],
             "properties": m.get("properties", {}),
             "files": files,
             "summary": {**(summary or {}), "batch_id": batch_id},
@@ -892,6 +893,74 @@ class LakeTable:
                 "buckets": len(target),
             },
             None,
+        )
+
+    def rebucket(
+        self,
+        new_num_buckets: int,
+        batch_id: int | None = None,
+        summary: dict | None = None,
+    ) -> dict:
+        """Change the table's bucket count in one atomic snapshot — the
+        partition-spec-evolution problem (Iceberg's ``bucket(N, key)``
+        spec change) solved as a full rewrite.
+
+        A table created at N buckets eventually outgrows them: at 10^10
+        events, 32 buckets means ~300 GB per bucket-resolve shuffle and a
+        32-task ceiling on merge parallelism. Bucket id is
+        ``pmod(xxhash64(keys), B)``, so EVERY key moves when B changes —
+        there is no incremental path; the honest cost is one full
+        resolve+shuffle+rewrite, priced like a whole-table compaction and
+        committed atomically (readers of prior versions are untouched;
+        time travel across the boundary works because each manifest pins
+        its own ``num_buckets`` and file list).
+
+        Semantics preserved across the rewrite:
+        - MoR deltas are resolved (rebucket subsumes ``compact``), so the
+          new layout starts delta-free.
+        - Winning delete markers are re-written as tombstone delta files
+          in their NEW buckets — a late lower-seq upsert of a deleted key
+          is still suppressed after the rebucket, exactly as after a
+          compaction.
+        - ``changes_between`` across the boundary diffs every bucket
+          (all file sets change) and reports the true row-level delta —
+          empty when only the layout moved.
+        """
+        if new_num_buckets < 1:
+            raise EngineError("rebucket: new_num_buckets must be >= 1")
+        if new_num_buckets == self.num_buckets:
+            return self.manifest()
+        winners = self._resolve_winners(
+            self._read_files(self.manifest()["files"], with_op=True)
+        )
+        keys = [F.col(c) for c in self.key_columns]
+        new_bucket = F.pmod(
+            F.xxhash64(*keys), F.lit(int(new_num_buckets))
+        ).cast("int")
+        winners = winners.withColumn("_bucket", new_bucket).persist()
+        try:
+            live = winners.filter(F.col("_op") != "delete").drop("_op")
+            entries = self._write_data_files(self._prepare_df(live))
+            tomb = winners.filter(F.col("_op") == "delete")
+            tomb_entries = self._write_data_files(
+                self._prepare_df(tomb, extra_cols=("_op",)),
+                delta=True,
+                tombstone=True,
+            )
+        finally:
+            winners.unpersist()
+        return self._commit(
+            "rebucket",
+            entries + tomb_entries,
+            batch_id,
+            {
+                **(summary or {}),
+                "num_buckets_before": self.num_buckets,
+                "num_buckets_after": int(new_num_buckets),
+                "tombstones": sum(e["rows"] for e in tomb_entries),
+            },
+            None,
+            num_buckets=int(new_num_buckets),
         )
 
     def overwrite_buckets(

@@ -544,6 +544,17 @@ def test_cli_maintain(spark, scratch, capsys):
     t2 = LakeTable.load(spark, path)
     assert t2.read().count() == 15
 
+    assert cli_main(["maintain", "--path", path, "--rebucket", "8"]) == 0
+    rep3 = json.loads(capsys.readouterr().out.strip())
+    assert rep3["rebucket"]["num_buckets_after"] == 8
+    t3 = LakeTable.load(spark, path)
+    assert t3.num_buckets == 8 and t3.read().count() == 15
+    # already at 8 -> noop report, no commit
+    v = t3.current_version()
+    assert cli_main(["maintain", "--path", path, "--rebucket", "8"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["rebucket"] == {"noop": True}
+    assert LakeTable.load(spark, path).current_version() == v
+
     with pytest.raises(SystemExit, match="required"):
         cli_main(["maintain", "--path", path])
 

@@ -931,3 +931,88 @@ def test_tombstone_only_buckets_read_plain(spark, scratch):
     assert rows[1] == (300, "back")
     # and read_since over the resolved state sees the resurrected row only
     assert {r.k for r in t.read_since("seq", 250).collect()} == {1}
+
+
+def _seq_table(spark, scratch, name, buckets, **kw):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(scratch, name), schema, ["k"],
+        num_buckets=buckets, properties={"order_column": "seq"}, **kw
+    )
+    return t, schema
+
+
+def test_rebucket_preserves_state_time_travel_and_future_commits(spark, scratch):
+    """rebucket(N) is an atomic layout change: logical state identical,
+    manifest carries the new bucket count, every file lands in the new
+    bucket numbering, prior versions still read with THEIR layout, the
+    row-level changelog across the boundary is empty, and subsequent
+    merges/deltas use the new bucket fn."""
+    t, schema = _seq_table(spark, scratch, "rb", buckets=2)
+    t.append(spark.createDataFrame(
+        [(k, k, f"v{k}") for k in range(40)], schema
+    ), batch_id=0)
+    pre_version = t.current_version()
+    before = {(r.k, r.seq, r.v) for r in t.read().collect()}
+
+    m = t.rebucket(16)
+    assert m["operation"] == "rebucket"
+    assert t.num_buckets == 16
+    buckets_used = {e["bucket"] for e in t.manifest()["files"]}
+    assert buckets_used <= set(range(16)) and len(buckets_used) > 2
+    assert {(r.k, r.seq, r.v) for r in t.read().collect()} == before
+    # old snapshot reads with its OWN layout and state
+    assert {(r.k, r.seq, r.v) for r in t.read(pre_version).collect()} == before
+    # the row-level changelog across the boundary is empty: layout moved,
+    # data did not
+    assert t.changes_between(pre_version, t.current_version()).count() == 0
+    # a no-op rebucket does not commit
+    v = t.current_version()
+    assert t.rebucket(16)["version"] == v
+
+    # future MoR deltas key-resolve against the NEW numbering
+    op_schema = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    t.append_delta(spark.createDataFrame(
+        [(3, 1000, "new3", "upsert"), (4, 1001, "x", "delete")], op_schema
+    ))
+    rows = {r.k: (r.seq, r.v) for r in t.read().collect()}
+    assert rows[3] == (1000, "new3") and 4 not in rows
+
+
+def test_rebucket_resolves_deltas_and_carries_tombstones(spark, scratch):
+    """rebucket subsumes compact: unmerged deltas are resolved into the new
+    base, and winning delete markers are re-written as tombstones in their
+    NEW buckets so a late lower-seq upsert stays suppressed afterwards."""
+    t, schema = _seq_table(spark, scratch, "rbt", buckets=2)
+    op_schema = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    t.append(spark.createDataFrame(
+        [(k, k, f"v{k}") for k in range(10)], schema
+    ), batch_id=0)
+    t.append_delta(spark.createDataFrame(
+        [(0, 100, "x", "delete"), (5, 101, "v5b", "upsert")], op_schema
+    ))
+
+    m = t.rebucket(8)
+    tomb = [e for e in m["files"] if e.get("tombstone")]
+    assert tomb, "winning delete must carry as a tombstone"
+    assert all(e["bucket"] < 8 for e in m["files"])
+    assert t.delta_file_counts() == {}, "rebucket leaves no unmerged deltas"
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert 0 not in rows and rows[5] == "v5b"
+
+    # late LOWER-seq upsert of the deleted key re-enters through a new
+    # delta: the carried tombstone still wins in the new bucket
+    t.append_delta(spark.createDataFrame(
+        [(0, 50, "late", "upsert")], op_schema
+    ))
+    assert 0 not in {r.k for r in t.read().collect()}
+
+    # invalid count refuses
+    with pytest.raises(EngineError, match="rebucket"):
+        t.rebucket(0)
