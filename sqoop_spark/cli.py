@@ -381,8 +381,10 @@ def cmd_export(args) -> int:
     spark = _session(args)
     since = getattr(args, "since", None)
     changes_since = getattr(args, "changes_since", None)
+    src_version = 0
     if LakeTable.exists(args.source):
         t = LakeTable.load(spark, args.source)
+        src_version = t.current_version() or 0
         if changes_since is not None:
             # Outbound CDC: ship the row-level snapshot diff (insert/
             # update/delete + _change) instead of the full state — the
@@ -455,6 +457,29 @@ def cmd_export(args) -> int:
 
         write_avro(src, args.target_table, compression=args.compress)
         print(json.dumps({"rows": src.count(), "format": "avro"}))
+        return 0
+    if args.format == "debezium":
+        # Outbound envelope JSONL: with --changes-since, the row-level diff
+        # as c/u/d change events; otherwise the full state as snapshot-read
+        # ('r') events — the two shapes a Kafka-Connect-style consumer
+        # expects from a connector (source position = the table version).
+        from pyspark.sql import functions as F
+
+        from sqoop_spark.sources.debezium import to_debezium
+
+        if "_change" in src.columns:
+            diff, insert_op = src, "c"
+        else:
+            diff, insert_op = src.withColumn("_change", F.lit("insert")), "r"
+        env = to_debezium(
+            diff,
+            source_name=os.path.basename(args.source.rstrip("/")),
+            table=os.path.basename(args.source.rstrip("/")),
+            pos_expr=F.lit(src_version),
+            insert_op=insert_op,
+        )
+        env.write.mode("overwrite").text(args.target_table)
+        print(json.dumps({"rows": env.count(), "format": "debezium"}))
         return 0
     if args.format == "sequencefile":
         from sqoop_spark.sequencefile import write_sequencefile
@@ -1163,7 +1188,8 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["upsert", "updateonly", "allowinsert"])
     exp.add_argument("--order-column", default="event_seq")
     exp.add_argument("--format", default="parquet",
-                     choices=["parquet", "text", "avro", "sequencefile"])
+                     choices=["parquet", "text", "avro", "sequencefile",
+                              "debezium"])
     exp.add_argument("--field-delim", default=",")
     exp.add_argument("--enclosed-by")
     exp.add_argument("--escaped-by")

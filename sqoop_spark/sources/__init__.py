@@ -1,6 +1,7 @@
 from sqoop_spark.sources.debezium import (  # noqa: F401
     envelope_schema,
     parse_debezium,
+    parse_debezium_split,
     to_debezium,
 )
 from sqoop_spark.sources.freeform import (  # noqa: F401

@@ -107,6 +107,17 @@ def parse_debezium(
     parsed = df.filter(F.col(value_col).isNotNull()).select(
         F.from_json(F.col(value_col), env, opts).alias("e")
     )
+    return _frame_from_parsed(parsed, order_expr, seq_col, ts_col, op_col)
+
+
+def _frame_from_parsed(
+    parsed: DataFrame,
+    order_expr: Column | None,
+    seq_col: str,
+    ts_col: str,
+    op_col: str,
+) -> DataFrame:
+    """Parsed envelopes (column ``e``) → the engine change-event frame."""
     rows = parsed.filter(F.col("e.op").isin("c", "r", "u", "d"))
     image = F.when(F.col("e.op") == "d", F.col("e.before")).otherwise(
         F.col("e.after")
@@ -134,6 +145,51 @@ def parse_debezium(
     return out.select("_img.*", op_col, seq_col, ts_col)
 
 
+def parse_debezium_split(
+    df: DataFrame,
+    row_schema: T.StructType,
+    value_col: str = "value",
+    order_expr: Column | None = None,
+    seq_col: str = "event_seq",
+    ts_col: str = "event_ts",
+    op_col: str = "op",
+) -> tuple[DataFrame, DataFrame]:
+    """Envelope JSON → ``(events, dead_letters)`` — the production tail
+    contract: a corrupt payload must neither fail the whole job (FAILFAST)
+    nor silently vanish (``drop_malformed``); it goes to a dead-letter
+    frame (``payload`` string + ``reason``) the operator can land next to
+    the table and replay after a fix.
+
+    Malformed JSON is detected JVM-side via ``from_json``'s
+    ``columnNameOfCorruptRecord`` (PERMISSIVE fills the corrupt column
+    with the raw record). Valid envelopes that carry no row image —
+    Kafka tombstones, ``t`` truncate / ``m`` message events — are VALID
+    protocol, so they are dropped from both frames, not dead-lettered.
+
+    Both returned frames are lazy plans over the same input scan; when
+    the source read is expensive (an object-store tail), persist ``df``
+    or split inside ``foreachBatch`` so each micro-batch is read once.
+    """
+    env = envelope_schema(row_schema)
+    env_c = T.StructType(
+        env.fields + [T.StructField("_corrupt", T.StringType())]
+    )
+    parsed = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col),
+        F.from_json(
+            F.col(value_col),
+            env_c,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("e"),
+    )
+    bad = parsed.filter(F.col("e._corrupt").isNotNull()).select(
+        F.col(value_col).alias("payload"),
+        F.lit("malformed_json").alias("reason"),
+    )
+    good = parsed.filter(F.col("e._corrupt").isNull()).select("e")
+    return _frame_from_parsed(good, order_expr, seq_col, ts_col, op_col), bad
+
+
 def to_debezium(
     diff: DataFrame,
     source_name: str,
@@ -141,6 +197,7 @@ def to_debezium(
     change_col: str = "_change",
     ts_expr: Column | None = None,
     pos_expr: Column | None = None,
+    insert_op: str = "c",
 ) -> DataFrame:
     """A ``changes_between`` diff frame → Debezium envelope JSON strings
     (column ``value``), for Kafka-Connect-style downstream consumers.
@@ -150,11 +207,13 @@ def to_debezium(
     the source position (default: the table version must be embedded by
     the caller; falls back to 0) and ``ts_expr`` the event timestamp in
     epoch millis (default 0 — deterministic output for tests; wall time
-    is the caller's to inject)."""
+    is the caller's to inject). ``insert_op="r"`` marks inserts as
+    snapshot reads — the op Debezium emits for an initial full-state
+    snapshot."""
     payload_cols = [c for c in diff.columns if c != change_col]
     row = F.struct(*[F.col(c) for c in payload_cols])
     op = (
-        F.when(F.col(change_col) == "insert", F.lit("c"))
+        F.when(F.col(change_col) == "insert", F.lit(insert_op))
         .when(F.col(change_col) == "update", F.lit("u"))
         .when(F.col(change_col) == "delete", F.lit("d"))
     )

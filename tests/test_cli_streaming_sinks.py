@@ -609,6 +609,34 @@ def test_cli_export_incremental_and_changelog(spark, scratch, capsys):
              os.path.join(scratch, "exp_out3"), "--since", "0"]
         )
 
+    # --format debezium: the diff ships as c/u/d envelope JSONL a
+    # downstream parse_debezium recovers losslessly; a full-state export
+    # marks rows as snapshot reads (op 'r', still upsert on re-ingest)
+    from sqoop_spark.sources.debezium import parse_debezium
+
+    out4 = os.path.join(scratch, "exp_out4")
+    assert cli_main(
+        ["export", "--source", src, "--target-table", out4,
+         "--changes-since", str(v2), "--format", "debezium"]
+    ) == 0
+    capsys.readouterr()
+    back = parse_debezium(spark.read.text(out4), schema)
+    assert {(r.k, r.op, r.event_seq) for r in back.collect()} == {
+        (i, "upsert", t.current_version()) for i in range(10, 16)
+    }
+
+    out5 = os.path.join(scratch, "exp_out5")
+    assert cli_main(
+        ["export", "--source", src, "--target-table", out5,
+         "--format", "debezium"]
+    ) == 0
+    capsys.readouterr()
+    env = [json.loads(r.value) for r in spark.read.text(out5).collect()]
+    assert len(env) == 16 and {e["op"] for e in env} == {"r"}
+    assert {(r.k, r.op) for r in parse_debezium(
+        spark.read.text(out5), schema).collect()
+    } == {(i, "upsert") for i in range(16)}
+
 
 def test_cli_import_dedup_id_cols(spark, scratch, capsys):
     """--dedup-id-cols: a redelivered (duplicated) source blind-appends

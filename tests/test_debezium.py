@@ -181,3 +181,104 @@ def test_envelope_schema_shape():
     env = envelope_schema(ROW)
     assert env["before"].dataType == ROW and env["after"].dataType == ROW
     assert [f.name for f in env] == ["before", "after", "op", "ts_ms", "source"]
+
+
+def test_split_routes_malformed_to_dlq(spark):
+    """parse_debezium_split: corrupt payloads land in the dead-letter frame
+    with the raw payload; valid no-image protocol events (tombstones,
+    truncate/message) are dropped from BOTH frames, not dead-lettered."""
+    from sqoop_spark.sources.debezium import parse_debezium_split
+
+    events = [
+        _env("c", None, {"id": 1, "name": "a"}, pos=1),
+        "{garbage",                       # malformed -> DLQ
+        "[1, 2]",                         # valid JSON, wrong shape -> DLQ
+        None,                             # Kafka tombstone -> dropped
+        json.dumps({"before": None, "after": None, "op": "t", "ts_ms": 1,
+                    "source": {"lsn": 5}}),  # truncate -> dropped
+        _env("d", {"id": 1, "name": "a"}, None, pos=2),
+    ]
+    df = spark.createDataFrame([(e,) for e in events], "value string")
+    good, bad = parse_debezium_split(df, ROW)
+    assert {(r["id"], r["op"]) for r in good.collect()} == {
+        (1, "upsert"), (1, "delete")
+    }
+    dlq = bad.collect()
+    assert {r["payload"] for r in dlq} >= {"{garbage"}
+    assert all(r["reason"] == "malformed_json" for r in dlq)
+    assert good.count() + bad.count() == 4  # 2 good + 2 dlq; 2 dropped
+
+
+def test_split_matches_failfast_on_clean_input(spark):
+    """On a clean tail the split frame is exactly parse_debezium's."""
+    from sqoop_spark.sources.debezium import parse_debezium_split
+
+    events = [
+        _env("c", None, {"id": 1, "name": "a"}, pos=1),
+        _env("u", {"id": 1, "name": "a"}, {"id": 1, "name": "b"}, pos=2),
+    ]
+    df = spark.createDataFrame([(e,) for e in events], "value string")
+    good, bad = parse_debezium_split(df, ROW)
+    assert bad.count() == 0
+    assert sorted(map(tuple, good.collect())) == sorted(
+        map(tuple, parse_debezium(df, ROW).collect())
+    )
+
+
+def test_streaming_tail_schema_evolution_across_restart(spark, scratch):
+    """The tail's table gains a column: stop the stream, evolve the lake
+    schema (add_column DDL), restart the SAME checkpoint with the widened
+    envelope row schema. Pre-evolution rows backfill NULL; post-evolution
+    events carry the new column; the key state stays correct throughout —
+    the operational shape of a Debezium ALTER TABLE rollout."""
+    from sqoop_spark.cdc import CdcEngine
+    from sqoop_spark.streaming.foreach import stream_apply
+
+    tail = os.path.join(scratch, "tail")
+    os.makedirs(tail)
+    with open(os.path.join(tail, "chunk0.jsonl"), "w") as f:
+        f.write("\n".join([
+            _env("c", None, {"id": 1, "name": "a"}, pos=1),
+            _env("c", None, {"id": 2, "name": "b"}, pos=2),
+        ]))
+
+    schema = T.StructType(
+        list(ROW)
+        + [
+            T.StructField("op", T.StringType()),
+            T.StructField("event_seq", T.LongType()),
+            T.StructField("event_ts", T.TimestampType()),
+        ]
+    )
+    engine = CdcEngine.create_table(
+        spark,
+        os.path.join(scratch, "lake"),
+        schema=schema,
+        key_columns=("id",),
+        num_buckets=4,
+        merge_strategy="mor",
+    )
+    ckpt = os.path.join(scratch, "ckpt")
+    q = stream_apply(
+        engine, parse_debezium(spark.readStream.format("text").load(tail), ROW),
+        ckpt,
+    )
+    q.awaitTermination(120)
+
+    # source ALTER TABLE lands: evolve the lake schema, then resume the
+    # tail with the widened row schema on the SAME checkpoint
+    engine.table.add_column("email", "string")
+    row2 = T.StructType(list(ROW) + [T.StructField("email", T.StringType())])
+    with open(os.path.join(tail, "chunk1.jsonl"), "w") as f:
+        f.write("\n".join([
+            _env("u", None, {"id": 1, "name": "a2", "email": "a@x"}, pos=3),
+            _env("c", None, {"id": 3, "name": "c", "email": "c@x"}, pos=4),
+        ]))
+    q2 = stream_apply(
+        engine, parse_debezium(spark.readStream.format("text").load(tail), row2),
+        ckpt,
+    )
+    q2.awaitTermination(120)
+
+    got = {(r["id"], r["name"], r["email"]) for r in engine.table.read().collect()}
+    assert got == {(1, "a2", "a@x"), (2, "b", None), (3, "c", "c@x")}
