@@ -296,6 +296,25 @@ def main() -> None:
         )
     )
 
+    lt.rebucket(8)
+    post = lt.read()
+    sections.append(
+        (
+            "Post-rebucket read (rebucket = layout change + compaction)",
+            "rebucket(8) resolved the outstanding delta and rewrote every "
+            "key into the new pmod(xxhash64(keys), 8) numbering in ONE "
+            "atomic snapshot (one resolve window + one Exchange on the new "
+            "bucket id — the honest full-rewrite cost of a bucket-spec "
+            "change). The post-rebucket logical read is a PLAIN base scan "
+            "— no Window, no delta union — and zone maps are re-recorded "
+            "on the new files, so incremental pruning survives the "
+            "migration. tests/test_lake.py pins state equality, tombstone "
+            "carry and the empty cross-boundary changelog; oracle "
+            "rebucket_replay value-hashes the migrated state.",
+            formatted(post),
+        )
+    )
+
     from sqoop_spark.pipeline import cosine_topk_blas
 
     blas = cosine_topk_blas(emb, emb.filter(F.col("vec_id") < 3), k=3)
