@@ -180,8 +180,13 @@ class CdcEngine:
                 )
             df = self._transform(batch)
             cols = [f.name for f in self.table.schema().fields]
+            # Blind appends are append-shaped: a lost manifest race to a
+            # parallel import job rebases safely (fence re-checked), so
+            # the multi-writer Sqoop-parallel shape works out of the box.
             manifest = self.table.append(
-                df.select(*[c for c in cols if c in df.columns]), batch_id=batch_id
+                df.select(*[c for c in cols if c in df.columns]),
+                batch_id=batch_id,
+                retry_conflicts=2,
             )
             parent_paths = {
                 e["path"] for e in self.table.manifest(manifest["parent"])["files"]

@@ -739,17 +739,54 @@ class LakeTable:
         self._write_manifest(new)
         return new
 
+    def _commit_append_shaped(
+        self,
+        operation: str,
+        entries: list[dict],
+        batch_id: int | None,
+        summary: dict | None,
+        lineage: dict | None,
+        retry_conflicts: int,
+    ) -> dict:
+        """Optimistic rebase-and-retry for APPEND-SHAPED commits (Iceberg's
+        fast-append retry): the new data files are already on disk and
+        reference no prior state, so losing the manifest race to another
+        writer is recoverable — re-read the winner's manifest and re-attach
+        OUR entries to ITS file list. The exactly-once fence is re-checked
+        each attempt (if the winner fenced our batch id, the retry raises
+        the fencing error — a racing duplicate of the same batch commits
+        once). State-DEPENDENT commits (merge, compact, rewrite, rebucket)
+        must NOT rebase: their output was computed against the parent
+        snapshot, so they surface ConcurrentCommitError for the caller to
+        recompute."""
+        attempt = 0
+        while True:
+            try:
+                files = self.manifest()["files"] + entries
+                return self._commit(operation, files, batch_id, summary, lineage)
+            except ConcurrentCommitError:
+                if attempt >= retry_conflicts:
+                    raise
+                attempt += 1
+
     def append(
         self,
         df: DataFrame,
         batch_id: int | None = None,
         summary: dict | None = None,
         lineage: dict | None = None,
+        retry_conflicts: int = 0,
     ) -> dict:
-        """Append-only commit (Sqoop `--incremental append` sink semantics)."""
+        """Append-only commit (Sqoop `--incremental append` sink semantics).
+
+        ``retry_conflicts`` > 0 enables the multi-writer shape — N parallel
+        import jobs blind-appending to one table — by rebasing onto the
+        winning manifest on a lost commit race (see
+        :meth:`_commit_append_shaped`)."""
         entries = self._write_data_files(self._prepare_df(df))
-        files = self.manifest()["files"] + entries
-        return self._commit("append", files, batch_id, summary, lineage)
+        return self._commit_append_shaped(
+            "append", entries, batch_id, summary, lineage, retry_conflicts
+        )
 
     def append_delta(
         self,
@@ -758,6 +795,7 @@ class LakeTable:
         op_col: str = "op",
         summary: dict | None = None,
         lineage: dict | None = None,
+        retry_conflicts: int = 0,
     ) -> dict:
         """Merge-on-read upsert commit: append newest-wins delta files.
 
@@ -769,6 +807,10 @@ class LakeTable:
         ``delta`` in the manifest. Per-event write volume is O(batch), not
         O(table) — the property that lets a 10^10-event replay stream
         instead of rewriting the table every batch.
+
+        Delta files are append-shaped (read-time resolution orders by the
+        order column, never by commit order), so ``retry_conflicts`` safely
+        rebases onto a concurrent winner exactly like :meth:`append`.
         """
         if op_col not in df.columns:
             df = df.withColumn(op_col, F.lit("upsert"))
@@ -776,8 +818,9 @@ class LakeTable:
             df.withColumn("_op", F.col(op_col)), extra_cols=("_op",)
         )
         entries = self._write_data_files(prepared, delta=True)
-        files = self.manifest()["files"] + entries
-        return self._commit("delta-append", files, batch_id, summary, lineage)
+        return self._commit_append_shaped(
+            "delta-append", entries, batch_id, summary, lineage, retry_conflicts
+        )
 
     def compact(
         self,

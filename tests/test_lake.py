@@ -1016,3 +1016,93 @@ def test_rebucket_resolves_deltas_and_carries_tombstones(spark, scratch):
     # invalid count refuses
     with pytest.raises(EngineError, match="rebucket"):
         t.rebucket(0)
+
+
+def test_append_retry_conflicts_rebase(spark, scratch):
+    """Two writers race the same manifest version: with retry_conflicts the
+    loser rebases its already-written files onto the winner's manifest
+    (Iceberg fast-append retry) — both appends land, nothing is lost, and
+    the exactly-once fence still wins over a racing duplicate batch."""
+    from sqoop_spark.errors import ConcurrentCommitError
+
+    t1, schema = _seq_table(spark, scratch, "race", buckets=2)
+    t2 = LakeTable.load(spark, t1.path)
+    t1.append(spark.createDataFrame([(1, 1, "a")], schema), batch_id=0)
+
+    def race_once(handle, competing_rows, competing_batch):
+        """Make `handle` lose its first manifest link to a competing
+        commit landed mid-window, then pass through."""
+        real_write = handle._write_manifest
+        state = {"raced": False}
+
+        def racy(manifest):
+            if not state["raced"]:
+                state["raced"] = True
+                t1.append(
+                    spark.createDataFrame(competing_rows, schema),
+                    batch_id=competing_batch,
+                )
+            return real_write(manifest)
+
+        handle._write_manifest = racy
+
+    # default (retry_conflicts=0): the loser surfaces the conflict
+    race_once(t2, [(2, 2, "b")], 1)
+    with pytest.raises(ConcurrentCommitError):
+        t2.append(spark.createDataFrame([(3, 3, "c")], schema), batch_id=2)
+    t2 = LakeTable.load(spark, t1.path)
+
+    # with retry: rebase onto the winner; BOTH appends' rows are live
+    race_once(t2, [(4, 4, "d")], 3)
+    m = t2.append(
+        spark.createDataFrame([(5, 5, "e")], schema),
+        batch_id=4,
+        retry_conflicts=2,
+    )
+    assert m["operation"] == "append"
+    got = {r.k for r in t2.read().collect()}
+    # k=3 (the unretried loser) never committed; both racing winners and
+    # both rebased appends are live
+    assert got == {1, 2, 4, 5}
+    assert {0, 3, 4} <= set(m["fenced_batch_ids"])
+
+    # a racing DUPLICATE of the same batch id commits exactly once: the
+    # retry re-checks the fence against the winner and refuses
+    t2 = LakeTable.load(spark, t1.path)
+    race_once(t2, [(6, 6, "f")], 9)
+    with pytest.raises(EngineError, match="already fenced"):
+        t2.append(
+            spark.createDataFrame([(7, 7, "g")], schema),
+            batch_id=9,
+            retry_conflicts=2,
+        )
+    assert 7 not in {r.k for r in LakeTable.load(spark, t1.path).read().collect()}
+
+
+def test_append_delta_retry_conflicts(spark, scratch):
+    """MoR delta appends rebase the same way — two racing delta writers
+    both land, and read-time resolution (order column, not commit order)
+    yields the correct newest-wins state."""
+    t1, schema = _seq_table(spark, scratch, "race_mor", buckets=2)
+    t2 = LakeTable.load(spark, t1.path)
+    op_schema = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    t1.append(spark.createDataFrame([(1, 1, "a"), (2, 2, "b")], schema))
+
+    real_write = t2._write_manifest
+    state = {"raced": False}
+
+    def racy(manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            t1.append_delta(spark.createDataFrame(
+                [(1, 100, "a2", "upsert")], op_schema
+            ))
+        return real_write(manifest)
+
+    t2._write_manifest = racy
+    t2.append_delta(
+        spark.createDataFrame([(2, 101, "x", "delete")], op_schema),
+        retry_conflicts=1,
+    )
+    rows = {r.k: r.v for r in t2.read().collect()}
+    assert rows == {1: "a2"}
