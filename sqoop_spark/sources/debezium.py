@@ -162,9 +162,12 @@ def parse_debezium_split(
 
     Malformed JSON is detected JVM-side via ``from_json``'s
     ``columnNameOfCorruptRecord`` (PERMISSIVE fills the corrupt column
-    with the raw record). Valid envelopes that carry no row image —
-    Kafka tombstones, ``t`` truncate / ``m`` message events — are VALID
-    protocol, so they are dropped from both frames, not dead-lettered.
+    with the raw record); parseable envelopes whose ``op`` is missing or
+    outside the protocol (not ``c|r|u|d|t|m``) dead-letter with reason
+    ``invalid_op`` — without this they would vanish from both frames.
+    Valid envelopes that carry no row image — Kafka tombstones, ``t``
+    truncate / ``m`` message events — are VALID protocol, so they are
+    dropped from both frames, not dead-lettered.
 
     Both returned frames are lazy plans over the same input scan; when
     the source read is expensive (an object-store tail), persist ``df``
@@ -182,11 +185,17 @@ def parse_debezium_split(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ).alias("e"),
     )
-    bad = parsed.filter(F.col("e._corrupt").isNotNull()).select(
-        F.col(value_col).alias("payload"),
-        F.lit("malformed_json").alias("reason"),
+    corrupt = F.col("e._corrupt").isNotNull()
+    bad_op = F.col("e.op").isNull() | ~F.col("e.op").isin(
+        "c", "r", "u", "d", "t", "m"
     )
-    good = parsed.filter(F.col("e._corrupt").isNull()).select("e")
+    bad = parsed.filter(corrupt | bad_op).select(
+        F.col(value_col).alias("payload"),
+        F.when(corrupt, F.lit("malformed_json"))
+        .otherwise(F.lit("invalid_op"))
+        .alias("reason"),
+    )
+    good = parsed.filter(~corrupt & ~bad_op).select("e")
     return _frame_from_parsed(good, order_expr, seq_col, ts_col, op_col), bad
 
 

@@ -196,6 +196,10 @@ def test_split_routes_malformed_to_dlq(spark):
         None,                             # Kafka tombstone -> dropped
         json.dumps({"before": None, "after": None, "op": "t", "ts_ms": 1,
                     "source": {"lsn": 5}}),  # truncate -> dropped
+        json.dumps({"after": {"id": 9, "name": "z"},
+                    "source": {"lsn": 6}}),  # missing op -> DLQ
+        json.dumps({"op": "z", "after": {"id": 9, "name": "z"},
+                    "source": {"lsn": 7}}),  # unknown op -> DLQ
         _env("d", {"id": 1, "name": "a"}, None, pos=2),
     ]
     df = spark.createDataFrame([(e,) for e in events], "value string")
@@ -204,9 +208,11 @@ def test_split_routes_malformed_to_dlq(spark):
         (1, "upsert"), (1, "delete")
     }
     dlq = bad.collect()
+    reasons = sorted(r["reason"] for r in dlq)
+    assert reasons == ["invalid_op", "invalid_op",
+                       "malformed_json", "malformed_json"]
     assert {r["payload"] for r in dlq} >= {"{garbage"}
-    assert all(r["reason"] == "malformed_json" for r in dlq)
-    assert good.count() + bad.count() == 4  # 2 good + 2 dlq; 2 dropped
+    assert good.count() + bad.count() == 6  # 2 good + 4 dlq; 2 dropped
 
 
 def test_split_matches_failfast_on_clean_input(spark):
