@@ -365,8 +365,12 @@ def _merge_apply_mor(
         F.count(F.lit(1)).alias("rows_out"),
         F.sum(F.when(F.col(op_col) == "delete", 1).otherwise(0)).alias("deletes"),
     )
+    # Delta files are append-shaped (read-time resolution orders by the
+    # order column), so a lost manifest race — realistically: against a
+    # concurrently-running compactor — rebases safely onto the winner.
     manifest = table.append_delta(
-        reduced, batch_id=batch_id, op_col=op_col, summary=extra_summary
+        reduced, batch_id=batch_id, op_col=op_col, summary=extra_summary,
+        retry_conflicts=2,
     )
     _mark("delta-write+commit")
     got = _safe_observation(obs_out, obs_timeout)
@@ -432,6 +436,7 @@ def merge_apply(
     strategy: str = "cow",
     auto_compact_threshold: int = 16,
     obs_timeout: float = 10.0,
+    commit_retry_disjoint: int = 0,
 ) -> MergeStats:
     """Apply one change batch to the lake table.
 
@@ -449,6 +454,13 @@ def merge_apply(
       O(table) write amplification). Buckets whose unmerged delta-file
       count reaches ``auto_compact_threshold`` are compacted after the
       commit, bounding read amplification.
+
+    The CoW commit pins its base snapshot: a concurrent commit raises
+    ``ConcurrentCommitError`` rather than being silently dropped from the
+    carry. ``commit_retry_disjoint`` > 0 lets a lost race rebase when the
+    winner touched only OTHER buckets (partitioned multi-writer streams);
+    an overlapping winner always surfaces for recompute. MoR delta
+    commits rebase automatically (append-shaped).
     """
     debug_timing = bool(os.environ.get("SQOOP_SPARK_DEBUG_TIMING"))
     _t0 = time.time()
@@ -556,12 +568,17 @@ def merge_apply(
             batch_id,
             {**(extra_summary or {}), "empty": True},
             {"batch_id": batch_id, "buckets": [], "counters": {}},
+            base=empty,
         )
         return MergeStats(batch_id, 0, 0, 0, 0, 0, 0, table.num_buckets)
 
     # Old-side logical row count observed in the same pass (manifest sums
     # would overcount when MoR delta files are present in these buckets).
     obs_old = Observation(f"merge-old-{batch_id}")
+    # The snapshot this merge is computed against: pins the commit base so
+    # a concurrent commit surfaces as ConcurrentCommitError instead of
+    # silently vanishing from the carried file list (lake/table.py _commit).
+    base_version = table.current_version()
     old = (
         table.read_buckets(affected)
         .observe(obs_old, F.count(F.lit(1)).alias("old_rows"))
@@ -674,6 +691,8 @@ def merge_apply(
         batch_id=batch_id,
         summary=extra_summary,
         lineage=None,  # patched below once counters are known
+        base_version=base_version,
+        retry_conflicts=commit_retry_disjoint,
     )
     # AQE's empty-relation propagation can eliminate a CollectMetrics node
     # when the merged subtree is empty (e.g. a batch that deletes every row

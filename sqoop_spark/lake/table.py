@@ -715,8 +715,16 @@ class LakeTable:
         lineage: dict | None,
         schema_update: dict | None = None,
         num_buckets: int | None = None,
+        base: dict | None = None,
     ) -> dict:
-        m = self.manifest()
+        # ``base`` pins the manifest this commit was computed against: the
+        # new version is base.version+1, so ANY commit that landed after
+        # the caller read its state makes the atomic link fail
+        # (ConcurrentCommitError) instead of being silently dropped from
+        # the carried file list. Callers that read state once and commit
+        # later MUST pass the manifest they read; without it the base is
+        # re-read here (single-writer fast path).
+        m = base if base is not None else self.manifest()
         fenced = list(m["fenced_batch_ids"])
         if batch_id is not None:
             if batch_id in fenced:
@@ -761,9 +769,12 @@ class LakeTable:
         recompute."""
         attempt = 0
         while True:
+            base = self.manifest()
             try:
-                files = self.manifest()["files"] + entries
-                return self._commit(operation, files, batch_id, summary, lineage)
+                return self._commit(
+                    operation, base["files"] + entries, batch_id, summary,
+                    lineage, base=base,
+                )
             except ConcurrentCommitError:
                 if attempt >= retry_conflicts:
                     raise
@@ -845,10 +856,11 @@ class LakeTable:
         # Tombstone-only buckets are already compacted — re-resolving them
         # would produce an identical state and a pointless commit. With a
         # horizon given they ARE targeted, so aged-out tombstones get dropped.
+        base = self.manifest()
         delta_buckets = sorted(
             {
                 e["bucket"]
-                for e in self.manifest()["files"]
+                for e in base["files"]
                 if e.get("delta")
                 and (tombstone_horizon is not None or not e.get("tombstone"))
             }
@@ -858,9 +870,13 @@ class LakeTable:
         else:
             target = sorted(set(buckets) & set(delta_buckets))
         if not target:
-            return self.manifest()
+            return base
         winners = self._resolve_winners(
-            self._read_files(self._entries(buckets=target), with_op=True)
+            self._read_files(
+                [e for e in base["files"] if e["bucket"] in set(target)],
+                version=base["version"],
+                with_op=True,
+            )
         ).persist()
         try:
             live = winners.filter(F.col("_op") != "delete").drop("_op")
@@ -873,7 +889,7 @@ class LakeTable:
             )
         finally:
             winners.unpersist()
-        carried = [e for e in self.manifest()["files"] if e["bucket"] not in set(target)]
+        carried = [e for e in base["files"] if e["bucket"] not in set(target)]
         return self._commit(
             "compact",
             carried + entries + tomb_entries,
@@ -884,6 +900,7 @@ class LakeTable:
                 "tombstones": sum(e["rows"] for e in tomb_entries),
             },
             None,
+            base=base,
         )
 
     def rewrite_small_files(
@@ -905,8 +922,9 @@ class LakeTable:
         column, never by file position, so rewriting base files under
         live deltas is safe) is carried forward by reference. A no-op
         returns the current manifest without committing."""
+        base = self.manifest()
         base_by_bucket: dict[int, list[dict]] = {}
-        for e in self.manifest()["files"]:
+        for e in base["files"]:
             if not e.get("delta"):
                 base_by_bucket.setdefault(e["bucket"], []).append(e)
         target = {
@@ -917,13 +935,13 @@ class LakeTable:
             and (buckets is None or b in set(buckets))
         }
         if not target:
-            return self.manifest()
+            return base
         rewritten = [e for files in target.values() for e in files]
-        df = self._read_files(rewritten)
+        df = self._read_files(rewritten, version=base["version"])
         entries = self._write_data_files(self._prepare_df(df))
         carried = [
             e
-            for e in self.manifest()["files"]
+            for e in base["files"]
             if e.get("delta") or e["bucket"] not in target
         ]
         return self._commit(
@@ -936,6 +954,7 @@ class LakeTable:
                 "buckets": len(target),
             },
             None,
+            base=base,
         )
 
     def rebucket(
@@ -971,10 +990,11 @@ class LakeTable:
         """
         if new_num_buckets < 1:
             raise EngineError("rebucket: new_num_buckets must be >= 1")
-        if new_num_buckets == self.num_buckets:
-            return self.manifest()
+        base = self.manifest()
+        if new_num_buckets == base["num_buckets"]:
+            return base
         winners = self._resolve_winners(
-            self._read_files(self.manifest()["files"], with_op=True)
+            self._read_files(base["files"], version=base["version"], with_op=True)
         )
         keys = [F.col(c) for c in self.key_columns]
         new_bucket = F.pmod(
@@ -998,12 +1018,13 @@ class LakeTable:
             batch_id,
             {
                 **(summary or {}),
-                "num_buckets_before": self.num_buckets,
+                "num_buckets_before": base["num_buckets"],
                 "num_buckets_after": int(new_num_buckets),
                 "tombstones": sum(e["rows"] for e in tomb_entries),
             },
             None,
             num_buckets=int(new_num_buckets),
+            base=base,
         )
 
     def overwrite_buckets(
@@ -1013,20 +1034,57 @@ class LakeTable:
         batch_id: int | None = None,
         summary: dict | None = None,
         lineage: dict | None = None,
+        base_version: int | None = None,
+        retry_conflicts: int = 0,
     ) -> dict:
         """Copy-on-write commit: replace all files of ``buckets`` with ``df``.
 
         Files outside the bucket set are carried forward by reference — the
         merge-apply path. ``df`` must contain only rows belonging to the
         given buckets.
+
+        ``base_version`` pins the snapshot ``df`` was computed against
+        (the caller's read point); the commit is based there, so a
+        concurrent commit raises ``ConcurrentCommitError`` rather than
+        being silently dropped from the carry. With ``retry_conflicts``
+        > 0, a lost race whose winner touched ONLY OTHER buckets is
+        rebased (carry = winner's files outside our set — the
+        disjoint-partition multi-writer shape, Iceberg's overwrite
+        conflict validation); a winner that changed OUR buckets' files
+        still raises, because ``df`` was computed against state that no
+        longer exists.
         """
         bs = set(int(b) for b in buckets)
+        base = self.manifest(base_version)
         entries = self._write_data_files(self._prepare_df(df))
         stray = {e["bucket"] for e in entries} - bs
         if stray:
             raise EngineError(f"overwrite produced rows outside bucket set: {stray}")
-        carried = [e for e in self.manifest()["files"] if e["bucket"] not in bs]
-        return self._commit("merge", carried + entries, batch_id, summary, lineage)
+
+        def ours(m: dict) -> set[str]:
+            return {e["path"] for e in m["files"] if e["bucket"] in bs}
+
+        attempt = 0
+        while True:
+            carried = [e for e in base["files"] if e["bucket"] not in bs]
+            try:
+                return self._commit(
+                    "merge", carried + entries, batch_id, summary, lineage,
+                    base=base,
+                )
+            except ConcurrentCommitError:
+                if attempt >= retry_conflicts:
+                    raise
+                attempt += 1
+                current = self.manifest()
+                if ours(current) != ours(base):
+                    raise ConcurrentCommitError(
+                        f"concurrent commit v{current['version']} changed "
+                        f"bucket(s) {sorted(bs)} this merge was computed "
+                        "against — recompute required (only disjoint-bucket "
+                        "winners can be rebased)"
+                    ) from None
+                base = current
 
     def overwrite_all(
         self, df: DataFrame, batch_id: int | None = None, summary: dict | None = None

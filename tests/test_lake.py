@@ -1106,3 +1106,69 @@ def test_append_delta_retry_conflicts(spark, scratch):
     )
     rows = {r.k: r.v for r in t2.read().collect()}
     assert rows == {1: "a2"}
+
+
+def test_overwrite_buckets_disjoint_rebase_and_overlap(spark, scratch):
+    """CoW merges to DISJOINT bucket sets can race: the loser rebases onto
+    the winner (its carry re-reads the winner's files outside its own
+    buckets). A winner that touched the SAME buckets must surface for
+    recompute — its state no longer matches what the merge was computed
+    against."""
+    from sqoop_spark.errors import ConcurrentCommitError
+
+    t1, schema = _seq_table(spark, scratch, "obr", buckets=4)
+    t1.append(spark.createDataFrame(
+        [(k, k, f"v{k}") for k in range(20)], schema
+    ))
+    by_bucket: dict[int, list[int]] = {}
+    for r in t1.read().select("k", t1.bucket_expr().alias("b")).collect():
+        by_bucket.setdefault(r.b, []).append(r.k)
+    (b_a, keys_a), (b_b, keys_b) = sorted(by_bucket.items())[:2]
+
+    def upd(keys, tag):
+        return spark.createDataFrame([(k, 100 + k, tag) for k in keys], schema)
+
+    def race_once(handle, fn):
+        real = handle._write_manifest
+        state = {"raced": False}
+
+        def racy(manifest):
+            if not state["raced"]:
+                state["raced"] = True
+                fn()
+            return real(manifest)
+
+        handle._write_manifest = racy
+
+    # disjoint: t1 wins with a bucket-A overwrite mid-window; t2's
+    # bucket-B merge rebases and BOTH merges' effects are live
+    t2 = LakeTable.load(spark, t1.path)
+    race_once(t2, lambda: t1.overwrite_buckets(upd(keys_a, "a2"), [b_a]))
+    t2.overwrite_buckets(upd(keys_b, "b2"), [b_b], retry_conflicts=1)
+    rows = {r.k: r.v for r in t2.read().collect()}
+    assert all(rows[k] == "a2" for k in keys_a)
+    assert all(rows[k] == "b2" for k in keys_b)
+
+    # overlap: the winner rewrote OUR buckets — retries must NOT absorb it
+    t3 = LakeTable.load(spark, t1.path)
+    race_once(t3, lambda: t1.overwrite_buckets(upd(keys_b, "b3"), [b_b]))
+    with pytest.raises(ConcurrentCommitError, match="recompute"):
+        t3.overwrite_buckets(upd(keys_b, "b4"), [b_b], retry_conflicts=3)
+    # the winner's state stands untouched
+    assert {r.v for r in t3.read().filter(F.col("k").isin(keys_b)).collect()} == {"b3"}
+
+
+def test_commit_stale_base_detected(spark, scratch):
+    """A commit computed against a stale snapshot must raise, not silently
+    drop the interleaved commit's files from the carry — the base manifest
+    pins the version the atomic link targets."""
+    from sqoop_spark.errors import ConcurrentCommitError
+
+    t, schema = _seq_table(spark, scratch, "stale", buckets=2)
+    t.append(spark.createDataFrame([(1, 1, "a")], schema))
+    old = t.manifest()
+    t.append(spark.createDataFrame([(2, 2, "b")], schema))
+    with pytest.raises(ConcurrentCommitError):
+        t._commit("merge", old["files"], None, None, None, base=old)
+    # nothing was lost
+    assert {r.k for r in t.read().collect()} == {1, 2}
