@@ -405,7 +405,9 @@ def _merge_apply_mor(
         if c >= auto_compact_threshold
     ]
     if hot:
-        table.compact(hot)
+        # retry around a cross-process racer (another ingest stream or an
+        # external maintain --compact); the in-process stream is serial
+        table.compact(hot, retry_recompute=2)
         _mark(f"auto-compact({len(hot)} buckets)")
 
     return MergeStats(

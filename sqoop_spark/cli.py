@@ -1065,7 +1065,9 @@ def cmd_maintain(args) -> int:
     t = LakeTable(_session(args) if needs_spark else None, args.path)
     if args.compact:
         before = t.current_version()
-        t.compact()
+        # the maintain tool IS the standing external compactor: retry
+        # around live ingest commits instead of dying on the first race
+        t.compact(retry_recompute=4)
         out["compact"] = {"committed": t.current_version() != before}
     if args.rebucket is not None:
         before = t.current_version()

@@ -839,6 +839,7 @@ class LakeTable:
         batch_id: int | None = None,
         summary: dict | None = None,
         tombstone_horizon=None,
+        retry_recompute: int = 0,
     ) -> dict:
         """Collapse MoR deltas into base files (Iceberg rewrite/compaction).
 
@@ -852,7 +853,33 @@ class LakeTable:
         forward across compactions until ``tombstone_horizon`` is passed:
         a caller that knows no event with order < horizon can still arrive
         (its source's ordering watermark) may pass it to age them out.
+
+        A compactor racing live delta writers loses the commit link
+        (base-pinned — the state it resolved no longer exists).
+        ``retry_recompute`` > 0 re-runs the whole resolve from the fresh
+        manifest (the winner's new deltas are then INCLUDED); the failed
+        attempt's data files become orphans that ``remove_orphan_files``
+        ages out. This is the standing-compactor loop: ingest never waits
+        for compaction, compaction retries around ingest.
         """
+        attempt = 0
+        while True:
+            try:
+                return self._compact_once(
+                    buckets, batch_id, summary, tombstone_horizon
+                )
+            except ConcurrentCommitError:
+                if attempt >= retry_recompute:
+                    raise
+                attempt += 1
+
+    def _compact_once(
+        self,
+        buckets: Iterable[int] | None,
+        batch_id: int | None,
+        summary: dict | None,
+        tombstone_horizon,
+    ) -> dict:
         # Tombstone-only buckets are already compacted — re-resolving them
         # would produce an identical state and a pointless commit. With a
         # horizon given they ARE targeted, so aged-out tombstones get dropped.
@@ -962,6 +989,7 @@ class LakeTable:
         new_num_buckets: int,
         batch_id: int | None = None,
         summary: dict | None = None,
+        tombstone_horizon=None,
     ) -> dict:
         """Change the table's bucket count in one atomic snapshot — the
         partition-spec-evolution problem (Iceberg's ``bucket(N, key)``
@@ -1005,6 +1033,12 @@ class LakeTable:
             live = winners.filter(F.col("_op") != "delete").drop("_op")
             entries = self._write_data_files(self._prepare_df(live))
             tomb = winners.filter(F.col("_op") == "delete")
+            if tombstone_horizon is not None:
+                # same aging contract as compact(): the caller's ordering
+                # watermark bounds how late a lower-seq event can arrive
+                tomb = tomb.filter(
+                    F.col(self.order_column) >= F.lit(tombstone_horizon)
+                )
             tomb_entries = self._write_data_files(
                 self._prepare_df(tomb, extra_cols=("_op",)),
                 delta=True,

@@ -1172,3 +1172,46 @@ def test_commit_stale_base_detected(spark, scratch):
         t._commit("merge", old["files"], None, None, None, base=old)
     # nothing was lost
     assert {r.k for r in t.read().collect()} == {1, 2}
+
+
+def test_compact_retry_recompute_around_live_ingest(spark, scratch):
+    """A compactor racing a live delta writer loses the base-pinned commit;
+    with retry_recompute it re-resolves from the fresh manifest and the
+    racer's delta is INCLUDED in the compacted base — the standing-
+    compactor loop (ingest never waits, compaction retries around it)."""
+    from sqoop_spark.errors import ConcurrentCommitError
+
+    t1, schema = _seq_table(spark, scratch, "cmp_race", buckets=2)
+    op_schema = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    t1.append(spark.createDataFrame(
+        [(k, k, f"v{k}") for k in range(8)], schema
+    ))
+    t1.append_delta(spark.createDataFrame(
+        [(1, 100, "v1b", "upsert")], op_schema
+    ))
+    t2 = LakeTable.load(spark, t1.path)
+
+    real = t2._write_manifest
+    state = {"raced": False}
+
+    def racy(manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            t1.append_delta(spark.createDataFrame(
+                [(2, 101, "x", "delete")], op_schema
+            ))
+        return real(manifest)
+
+    t2._write_manifest = racy
+
+    # without retries the conflict surfaces (state it resolved is stale)
+    with pytest.raises(ConcurrentCommitError):
+        t2.compact()
+    t2 = LakeTable.load(spark, t1.path)
+    t2._write_manifest = racy  # already raced; passes through
+
+    m = t2.compact(retry_recompute=2)
+    assert m["operation"] == "compact"
+    assert t2.delta_file_counts() == {}, "the racer's delta was compacted too"
+    rows = {r.k: r.v for r in t2.read().collect()}
+    assert rows[1] == "v1b" and 2 not in rows
