@@ -563,15 +563,28 @@ def merge_apply(
 
     batch = batch.withColumn("_bucket", table.bucket_expr())
     if not affected:
-        empty = table.manifest()  # still fence the empty batch for exactly-once
-        table._commit(
-            "merge",
-            empty["files"],
-            batch_id,
-            {**(extra_summary or {}), "empty": True},
-            {"batch_id": batch_id, "buckets": [], "counters": {}},
-            base=empty,
-        )
+        # Still fence the empty batch for exactly-once. An empty commit
+        # changes no buckets, so a lost race is ALWAYS rebasable — honor
+        # the same retry budget as the non-empty path.
+        from sqoop_spark.errors import ConcurrentCommitError
+
+        attempt = 0
+        while True:
+            empty = table.manifest()
+            try:
+                table._commit(
+                    "merge",
+                    empty["files"],
+                    batch_id,
+                    {**(extra_summary or {}), "empty": True},
+                    {"batch_id": batch_id, "buckets": [], "counters": {}},
+                    base=empty,
+                )
+                break
+            except ConcurrentCommitError:
+                if attempt >= commit_retry_disjoint:
+                    raise
+                attempt += 1
         return MergeStats(batch_id, 0, 0, 0, 0, 0, 0, table.num_buckets)
 
     # Old-side logical row count observed in the same pass (manifest sums

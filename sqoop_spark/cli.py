@@ -1071,7 +1071,9 @@ def cmd_maintain(args) -> int:
         out["compact"] = {"committed": t.current_version() != before}
     if args.rebucket is not None:
         before = t.current_version()
-        m = t.rebucket(args.rebucket)
+        # like --compact: retry around live ingest commits rather than
+        # dying after paying the full rewrite
+        m = t.rebucket(args.rebucket, retry_recompute=2)
         out["rebucket"] = (
             m["summary"] if m["version"] != before else {"noop": True}
         )

@@ -755,6 +755,7 @@ class LakeTable:
         summary: dict | None,
         lineage: dict | None,
         retry_conflicts: int,
+        num_buckets: int,
     ) -> dict:
         """Optimistic rebase-and-retry for APPEND-SHAPED commits (Iceberg's
         fast-append retry): the new data files are already on disk and
@@ -763,13 +764,24 @@ class LakeTable:
         OUR entries to ITS file list. The exactly-once fence is re-checked
         each attempt (if the winner fenced our batch id, the retry raises
         the fencing error — a racing duplicate of the same batch commits
-        once). State-DEPENDENT commits (merge, compact, rewrite, rebucket)
-        must NOT rebase: their output was computed against the parent
-        snapshot, so they surface ConcurrentCommitError for the caller to
+        once). ``num_buckets`` pins the numbering the entries' bucket ids
+        were computed under: a winner that REBUCKETED the table makes them
+        stale (a bucket-7-of-32 file is not bucket-7-of-64), so that race
+        surfaces for a rewrite instead of corrupting the layout.
+        State-DEPENDENT commits (merge, compact, rewrite, rebucket) must
+        NOT rebase: their output was computed against the parent snapshot,
+        so they surface ConcurrentCommitError for the caller to
         recompute."""
         attempt = 0
         while True:
             base = self.manifest()
+            if base["num_buckets"] != num_buckets:
+                raise ConcurrentCommitError(
+                    f"table was rebucketted ({num_buckets} -> "
+                    f"{base['num_buckets']} buckets) while this "
+                    f"{operation} was writing — its bucket ids are stale; "
+                    "rewrite the batch against the new layout"
+                )
             try:
                 return self._commit(
                     operation, base["files"] + entries, batch_id, summary,
@@ -794,9 +806,10 @@ class LakeTable:
         import jobs blind-appending to one table — by rebasing onto the
         winning manifest on a lost commit race (see
         :meth:`_commit_append_shaped`)."""
+        nb = self.num_buckets  # the numbering _prepare_df buckets under
         entries = self._write_data_files(self._prepare_df(df))
         return self._commit_append_shaped(
-            "append", entries, batch_id, summary, lineage, retry_conflicts
+            "append", entries, batch_id, summary, lineage, retry_conflicts, nb
         )
 
     def append_delta(
@@ -825,12 +838,14 @@ class LakeTable:
         """
         if op_col not in df.columns:
             df = df.withColumn(op_col, F.lit("upsert"))
+        nb = self.num_buckets  # capture BEFORE bucketing the rows under it
         prepared = self._prepare_df(
             df.withColumn("_op", F.col(op_col)), extra_cols=("_op",)
         )
         entries = self._write_data_files(prepared, delta=True)
         return self._commit_append_shaped(
-            "delta-append", entries, batch_id, summary, lineage, retry_conflicts
+            "delta-append", entries, batch_id, summary, lineage,
+            retry_conflicts, nb,
         )
 
     def compact(
@@ -906,13 +921,10 @@ class LakeTable:
             )
         ).persist()
         try:
-            live = winners.filter(F.col("_op") != "delete").drop("_op")
-            entries = self._write_data_files(self._prepare_df(live))
-            tomb = winners.filter(F.col("_op") == "delete")
-            if tombstone_horizon is not None:
-                tomb = tomb.filter(F.col(self.order_column) >= F.lit(tombstone_horizon))
-            tomb_entries = self._write_data_files(
-                self._prepare_df(tomb, extra_cols=("_op",)), delta=True, tombstone=True
+            entries, tomb_entries = self._write_live_and_tombstones(
+                winners.filter(F.col("_op") != "delete").drop("_op"),
+                winners.filter(F.col("_op") == "delete"),
+                tombstone_horizon,
             )
         finally:
             winners.unpersist()
@@ -929,6 +941,24 @@ class LakeTable:
             None,
             base=base,
         )
+
+    def _write_live_and_tombstones(
+        self, live: DataFrame, tomb: DataFrame, tombstone_horizon
+    ) -> tuple[list[dict], list[dict]]:
+        """Shared compact/rebucket output writer: live rows as base files,
+        winning delete markers as a retained tombstone delta (aged out past
+        ``tombstone_horizon``, the caller's ordering watermark)."""
+        entries = self._write_data_files(self._prepare_df(live))
+        if tombstone_horizon is not None:
+            tomb = tomb.filter(
+                F.col(self.order_column) >= F.lit(tombstone_horizon)
+            )
+        tomb_entries = self._write_data_files(
+            self._prepare_df(tomb, extra_cols=("_op",)),
+            delta=True,
+            tombstone=True,
+        )
+        return entries, tomb_entries
 
     def rewrite_small_files(
         self,
@@ -990,6 +1020,7 @@ class LakeTable:
         batch_id: int | None = None,
         summary: dict | None = None,
         tombstone_horizon=None,
+        retry_recompute: int = 0,
     ) -> dict:
         """Change the table's bucket count in one atomic snapshot — the
         partition-spec-evolution problem (Iceberg's ``bucket(N, key)``
@@ -1000,52 +1031,90 @@ class LakeTable:
         32-task ceiling on merge parallelism. Bucket id is
         ``pmod(xxhash64(keys), B)``, so EVERY key moves when B changes —
         there is no incremental path; the honest cost is one full
-        resolve+shuffle+rewrite, priced like a whole-table compaction and
+        shuffle+rewrite, priced like a whole-table compaction and
         committed atomically (readers of prior versions are untouched;
         time travel across the boundary works because each manifest pins
         its own ``num_buckets`` and file list).
 
-        Semantics preserved across the rewrite:
-        - MoR deltas are resolved (rebucket subsumes ``compact``), so the
-          new layout starts delta-free.
-        - Winning delete markers are re-written as tombstone delta files
-          in their NEW buckets — a late lower-seq upsert of a deleted key
-          is still suppressed after the rebucket, exactly as after a
-          compaction.
+        Semantics preserved across the rewrite — exactly ``read()``'s:
+        - Buckets with unmerged non-tombstone deltas are key-resolved
+          (rebucket subsumes ``compact`` there), so the new layout starts
+          delta-free. Buckets WITHOUT them re-hash as plain rows — a
+          blind-append table (legitimate duplicate keys) migrates without
+          losing rows to a resolution ``read()`` would never apply.
+        - Retained and winning delete markers are re-written as tombstone
+          delta files in their NEW buckets — a late lower-seq upsert of a
+          deleted key is still suppressed after the rebucket, exactly as
+          after a compaction (``tombstone_horizon`` ages them out, same
+          contract as ``compact``).
         - ``changes_between`` across the boundary diffs every bucket
           (all file sets change) and reports the true row-level delta —
           empty when only the layout moved.
+
+        ``retry_recompute`` re-runs the whole rewrite from the fresh
+        manifest on a lost commit race (live ingest during the rewrite);
+        the failed attempt's files age out via ``remove_orphan_files``.
         """
         if new_num_buckets < 1:
             raise EngineError("rebucket: new_num_buckets must be >= 1")
+        attempt = 0
+        while True:
+            try:
+                return self._rebucket_once(
+                    int(new_num_buckets), batch_id, summary, tombstone_horizon
+                )
+            except ConcurrentCommitError:
+                if attempt >= retry_recompute:
+                    raise
+                attempt += 1
+
+    def _rebucket_once(
+        self,
+        new_num_buckets: int,
+        batch_id: int | None,
+        summary: dict | None,
+        tombstone_horizon,
+    ) -> dict:
         base = self.manifest()
         if new_num_buckets == base["num_buckets"]:
             return base
-        winners = self._resolve_winners(
-            self._read_files(base["files"], version=base["version"], with_op=True)
-        )
+        files, v = base["files"], base["version"]
+        resolve_bs = self._resolve_buckets(files)
+        ent_resolve = [e for e in files if e["bucket"] in resolve_bs]
+        ent_plain = [
+            e for e in files
+            if e["bucket"] not in resolve_bs and not e.get("delta")
+        ]
+        # tombstone-only buckets' retained delete markers carry forward
+        ent_tomb = [
+            e for e in files
+            if e["bucket"] not in resolve_bs and e.get("delta")
+        ]
         keys = [F.col(c) for c in self.key_columns]
         new_bucket = F.pmod(
-            F.xxhash64(*keys), F.lit(int(new_num_buckets))
+            F.xxhash64(*keys), F.lit(new_num_buckets)
         ).cast("int")
-        winners = winners.withColumn("_bucket", new_bucket).persist()
+
+        live = self._read_files(ent_plain, version=v)
+        tomb = self._read_files(ent_tomb, version=v, with_op=True)
+        winners = None
+        if ent_resolve:
+            winners = self._resolve_winners(
+                self._read_files(ent_resolve, version=v, with_op=True)
+            ).persist()
+            live = live.unionByName(
+                winners.filter(F.col("_op") != "delete").drop("_op")
+            )
+            tomb = tomb.unionByName(winners.filter(F.col("_op") == "delete"))
         try:
-            live = winners.filter(F.col("_op") != "delete").drop("_op")
-            entries = self._write_data_files(self._prepare_df(live))
-            tomb = winners.filter(F.col("_op") == "delete")
-            if tombstone_horizon is not None:
-                # same aging contract as compact(): the caller's ordering
-                # watermark bounds how late a lower-seq event can arrive
-                tomb = tomb.filter(
-                    F.col(self.order_column) >= F.lit(tombstone_horizon)
-                )
-            tomb_entries = self._write_data_files(
-                self._prepare_df(tomb, extra_cols=("_op",)),
-                delta=True,
-                tombstone=True,
+            entries, tomb_entries = self._write_live_and_tombstones(
+                live.withColumn("_bucket", new_bucket),
+                tomb.withColumn("_bucket", new_bucket),
+                tombstone_horizon,
             )
         finally:
-            winners.unpersist()
+            if winners is not None:
+                winners.unpersist()
         return self._commit(
             "rebucket",
             entries + tomb_entries,
@@ -1053,11 +1122,11 @@ class LakeTable:
             {
                 **(summary or {}),
                 "num_buckets_before": base["num_buckets"],
-                "num_buckets_after": int(new_num_buckets),
+                "num_buckets_after": new_num_buckets,
                 "tombstones": sum(e["rows"] for e in tomb_entries),
             },
             None,
-            num_buckets=int(new_num_buckets),
+            num_buckets=new_num_buckets,
             base=base,
         )
 
@@ -1098,6 +1167,7 @@ class LakeTable:
         def ours(m: dict) -> set[str]:
             return {e["path"] for e in m["files"] if e["bucket"] in bs}
 
+        nb0 = base["num_buckets"]
         attempt = 0
         while True:
             carried = [e for e in base["files"] if e["bucket"] not in bs]
@@ -1111,12 +1181,20 @@ class LakeTable:
                     raise
                 attempt += 1
                 current = self.manifest()
-                if ours(current) != ours(base):
+                # a rebucket winner invalidates our bucket numbering even
+                # when our buckets' file sets compare equal (e.g. both
+                # empty) — the merge must be recomputed against the new
+                # layout, never rebased
+                if (
+                    current["num_buckets"] != nb0
+                    or ours(current) != ours(base)
+                ):
                     raise ConcurrentCommitError(
                         f"concurrent commit v{current['version']} changed "
-                        f"bucket(s) {sorted(bs)} this merge was computed "
-                        "against — recompute required (only disjoint-bucket "
-                        "winners can be rebased)"
+                        f"bucket(s) {sorted(bs)} (or the bucket layout) "
+                        "this merge was computed against — recompute "
+                        "required (only disjoint-bucket winners can be "
+                        "rebased)"
                     ) from None
                 base = current
 

@@ -110,6 +110,15 @@ def parse_debezium(
     return _frame_from_parsed(parsed, order_expr, seq_col, ts_col, op_col)
 
 
+def _order_or_default(order_expr: Column | None) -> Column:
+    """The log-position order column: caller's expression, else
+    lsn (Postgres) → pos (MySQL) → envelope ts_ms."""
+    if order_expr is not None:
+        return order_expr
+    return F.coalesce(F.col("e.source.lsn"), F.col("e.source.pos"),
+                      F.col("e.ts_ms"))
+
+
 def _frame_from_parsed(
     parsed: DataFrame,
     order_expr: Column | None,
@@ -118,22 +127,37 @@ def _frame_from_parsed(
     op_col: str,
 ) -> DataFrame:
     """Parsed envelopes (column ``e``) → the engine change-event frame."""
-    rows = parsed.filter(F.col("e.op").isin("c", "r", "u", "d"))
+    # A ROW event with no usable log position cannot be merge-ordered:
+    # fail LOUDLY instead of silently nulling — a null here means the
+    # tail lacks lsn/pos/ts_ms entirely, or a caller's order_expr isn't
+    # castable to long (try_cast keeps the failure on THIS message, not
+    # ANSI cast's). The guard is TOTAL over all parsed rows (non-row
+    # events pass vacuously) so Catalyst filter pushdown can't evaluate
+    # it against rows another filter would have dropped.
+    # parse_debezium_split routes these to the DLQ before this guard.
+    order_ok = F.when(
+        F.col("e.op").isin("c", "r", "u", "d"),
+        _order_or_default(order_expr).try_cast("long").isNotNull(),
+    ).otherwise(F.lit(True))
+    checked = parsed.filter(
+        F.assert_true(
+            order_ok,
+            F.lit(
+                "debezium event has no usable order: lsn/pos/ts_ms all "
+                "null, or order_expr not castable to long"
+            ),
+        ).isNull()
+    )
+    rows = checked.filter(F.col("e.op").isin("c", "r", "u", "d"))
     image = F.when(F.col("e.op") == "d", F.col("e.before")).otherwise(
         F.col("e.after")
-    )
-    order = (
-        order_expr
-        if order_expr is not None
-        else F.coalesce(F.col("e.source.lsn"), F.col("e.source.pos"),
-                        F.col("e.ts_ms"))
     )
     out = rows.select(
         image.alias("_img"),
         F.when(F.col("e.op") == "d", F.lit("delete"))
         .otherwise(F.lit("upsert"))
         .alias(op_col),
-        order.cast("long").alias(seq_col),
+        _order_or_default(order_expr).try_cast("long").alias(seq_col),
         F.timestamp_millis(
             F.coalesce(F.col("e.ts_ms"), F.col("e.source.ts_ms"))
         ).alias(ts_col),
@@ -189,13 +213,20 @@ def parse_debezium_split(
     bad_op = F.col("e.op").isNull() | ~F.col("e.op").isin(
         "c", "r", "u", "d", "t", "m"
     )
-    bad = parsed.filter(corrupt | bad_op).select(
+    # a ROW event whose log position is unusable (lsn/pos/ts_ms all null,
+    # or order_expr not castable to long) cannot be merge-ordered — DLQ,
+    # not the loud failure parse_debezium raises
+    no_order = F.col("e.op").isin("c", "r", "u", "d") & _order_or_default(
+        order_expr
+    ).try_cast("long").isNull()
+    bad = parsed.filter(corrupt | bad_op | no_order).select(
         F.col(value_col).alias("payload"),
         F.when(corrupt, F.lit("malformed_json"))
-        .otherwise(F.lit("invalid_op"))
+        .when(bad_op, F.lit("invalid_op"))
+        .otherwise(F.lit("missing_order"))
         .alias("reason"),
     )
-    good = parsed.filter(~corrupt & ~bad_op).select("e")
+    good = parsed.filter(~corrupt & ~bad_op & ~no_order).select("e")
     return _frame_from_parsed(good, order_expr, seq_col, ts_col, op_col), bad
 
 

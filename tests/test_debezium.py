@@ -288,3 +288,31 @@ def test_streaming_tail_schema_evolution_across_restart(spark, scratch):
 
     got = {(r["id"], r["name"], r["email"]) for r in engine.table.read().collect()}
     assert got == {(1, "a2", "a@x"), (2, "b", None), (3, "c", "c@x")}
+
+
+def test_null_order_raises_and_split_dlqs(spark):
+    """A row event with no usable log position (lsn/pos/ts_ms all null, or
+    an order_expr that casts to null) cannot be merge-ordered: the strict
+    parser fails LOUDLY; the split parser dead-letters it as
+    missing_order instead of nulling event_seq silently."""
+    from sqoop_spark.sources.debezium import parse_debezium_split
+
+    no_pos = json.dumps({"before": None, "after": {"id": 1, "name": "a"},
+                         "op": "c", "source": {"db": "d"}})
+    ok = _env("c", None, {"id": 2, "name": "b"}, pos=7)
+    df = spark.createDataFrame([(no_pos,), (ok,)], "value string")
+
+    with pytest.raises(Exception, match="no usable order"):
+        parse_debezium(df, ROW).collect()
+
+    good, bad = parse_debezium_split(df, ROW)
+    assert [r["id"] for r in good.collect()] == [2]
+    assert [r["reason"] for r in bad.collect()] == ["missing_order"]
+
+    # a STRING order_expr that casts to null is the same failure, loudly
+    df_ok = spark.createDataFrame([(ok,)], "value string")
+    with pytest.raises(Exception, match="no usable order"):
+        parse_debezium(
+            df_ok, ROW, order_expr=F.concat(F.col("e.source.file"),
+                                            F.lit("/"))
+        ).collect()

@@ -1215,3 +1215,80 @@ def test_compact_retry_recompute_around_live_ingest(spark, scratch):
     assert t2.delta_file_counts() == {}, "the racer's delta was compacted too"
     rows = {r.k: r.v for r in t2.read().collect()}
     assert rows[1] == "v1b" and 2 not in rows
+
+
+def test_rebucket_preserves_blind_append_duplicates(spark, scratch):
+    """A blind-append table (no merge key semantics in use — duplicate
+    'keys' are legitimate rows) must migrate WITHOUT key resolution:
+    rebucket re-hashes plain buckets as-is, matching read()'s contract of
+    never resolving delta-free buckets."""
+    t, schema = _seq_table(spark, scratch, "rb_dup", buckets=2)
+    rows = [(1, i, f"e{i}") for i in range(5)] + [(2, 9, "x")]
+    t.append(spark.createDataFrame(rows, schema))
+    assert t.read().count() == 6
+
+    t.rebucket(8)
+    got = sorted((r.k, r.seq, r.v) for r in t.read().collect())
+    assert got == sorted(rows), "layout-only migration must not drop rows"
+    assert t.num_buckets == 8
+
+
+def test_append_retry_refuses_rebucket_winner(spark, scratch):
+    """An append that loses its commit race to a REBUCKET must not rebase:
+    its files' bucket ids were computed under the old numbering. The
+    retry surfaces a ConcurrentCommitError naming the layout change."""
+    from sqoop_spark.errors import ConcurrentCommitError
+
+    t1, schema = _seq_table(spark, scratch, "rb_race", buckets=2)
+    t1.append(spark.createDataFrame([(k, k, f"v{k}") for k in range(8)], schema))
+    t2 = LakeTable.load(spark, t1.path)
+
+    real = t2._write_manifest
+    state = {"raced": False}
+
+    def racy(manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            t1.rebucket(16)
+        return real(manifest)
+
+    t2._write_manifest = racy
+    with pytest.raises(ConcurrentCommitError, match="rebucket"):
+        t2.append(
+            spark.createDataFrame([(100, 100, "new")], schema),
+            retry_conflicts=5,
+        )
+    # the rebucket winner's state is intact; the stale append never landed
+    t3 = LakeTable.load(spark, t1.path)
+    assert t3.num_buckets == 16
+    assert 100 not in {r.k for r in t3.read().collect()}
+
+
+def test_empty_batch_fence_rebases_on_race(spark, scratch):
+    """An empty micro-batch's fence-only commit changes no buckets, so a
+    lost race must rebase under the same retry budget as the non-empty
+    path instead of killing the stream."""
+    from sqoop_spark.cdc.merge import merge_apply
+
+    t1, schema = _seq_table(spark, scratch, "empty_race", buckets=2)
+    t1.append(spark.createDataFrame([(1, 1, "a")], schema))
+    t2 = LakeTable.load(spark, t1.path)
+
+    real = t2._write_manifest
+    state = {"raced": False}
+
+    def racy(manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            t1.append(spark.createDataFrame([(2, 2, "b")], schema))
+        return real(manifest)
+
+    t2._write_manifest = racy
+    empty = spark.createDataFrame([], T.StructType(
+        schema.fields + [T.StructField("op", T.StringType())]
+    ))
+    stats = merge_apply(t2, empty, batch_id=77, order_col="seq",
+                        commit_retry_disjoint=2)
+    assert stats.rows_in == 0 and stats.buckets_touched == 0
+    assert 77 in LakeTable.load(spark, t1.path).fenced_batch_ids()
+    assert {r.k for r in t2.read().collect()} == {1, 2}
