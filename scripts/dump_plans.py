@@ -301,16 +301,18 @@ def main() -> None:
     sections.append(
         (
             "Post-rebucket read (rebucket = layout change + compaction)",
-            "rebucket(8) resolved the outstanding delta and rewrote every "
-            "key into the new pmod(xxhash64(keys), 8) numbering in ONE "
-            "atomic snapshot (one resolve window + one Exchange on the new "
-            "bucket id — the honest full-rewrite cost of a bucket-spec "
-            "change). The post-rebucket logical read is a PLAIN base scan "
-            "— no Window, no delta union — and zone maps are re-recorded "
-            "on the new files, so incremental pruning survives the "
-            "migration. tests/test_lake.py pins state equality, tombstone "
-            "carry and the empty cross-boundary changelog; oracle "
-            "rebucket_replay value-hashes the migrated state.",
+            "rebucket(8) rewrote every key into the new "
+            "pmod(xxhash64(keys), 8) numbering in ONE atomic snapshot — "
+            "mirroring read()'s resolution contract: only the bucket with "
+            "the outstanding delta paid a resolve window; plain buckets "
+            "re-hashed through the Exchange as-is (a blind-append table "
+            "with duplicate keys migrates losslessly). The post-rebucket "
+            "logical read is a PLAIN base scan — no Window, no delta "
+            "union — and zone maps are re-recorded on the new files, so "
+            "incremental pruning survives the migration. tests/test_lake.py "
+            "pins state equality, duplicate preservation, tombstone carry "
+            "and the empty cross-boundary changelog; oracle rebucket_replay "
+            "value-hashes the migrated state.",
             formatted(post),
         )
     )
