@@ -831,6 +831,70 @@ def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "batch_rank INT, live_rows BIGINT")
 
 
+def q_delete_where_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate DELETE (``LakeTable.delete_where`` — the GDPR
+    erasure primitive, Iceberg/Delta ``DELETE FROM t WHERE cond``) under
+    the full value hash: the staged replay table is cloned, every row with
+    ``lang = 'python'`` is deleted copy-on-write at bucket granularity
+    (payload-free tombstones retained against out-of-order resurrection),
+    and the surviving state must equal newest-wins minus the predicate."""
+    from sqoop_spark.lake import LakeTable
+
+    src, _j = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_delete_")
+    dst = f"{tmp}/repos"
+    shutil.copytree(src.path, dst)
+    t = LakeTable.load(spark, dst)
+    t.delete_where("lang = 'python'")
+    return _materialize_and_clean(t.read(), tmp)
+
+
+def q_update_where_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate UPDATE (``LakeTable.update_where`` —
+    ``UPDATE t SET ... WHERE cond``): every ``lang = 'go'`` row gets its
+    content uppercased and the sha fingerprint recomputed IN the same
+    commit (the content-sha invariant survives manual correction); rows
+    keep their original order value so newer CDC events still win. DuckDB
+    recomputes the identical CASE projection over newest-wins."""
+    from sqoop_spark.lake import LakeTable
+
+    src, _j = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_update_")
+    dst = f"{tmp}/repos"
+    shutil.copytree(src.path, dst)
+    t = LakeTable.load(spark, dst)
+    t.update_where(
+        "lang = 'go'",
+        {"content": "upper(content)", "content_sha": "sha2(upper(content), 256)"},
+    )
+    return _materialize_and_clean(t.read(), tmp)
+
+
+def q_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback (``LakeTable.rollback_to`` — Iceberg
+    ``rollback_to_snapshot``): the staged replay table is cloned, the
+    mid-replay snapshot is tagged, and the table rolls back to the tag as
+    a NEW metadata-only commit (zero data movement; undone batch ids are
+    unfenced for corrected re-application). The restored state must equal
+    newest-wins over the event prefix ``batch_id <= floor(max_batch/2)``
+    — the same oracle as time travel, reached through the rollback commit
+    instead of an old-version read."""
+    from sqoop_spark.lake import LakeTable
+
+    src, j = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_rollback_")
+    dst = f"{tmp}/repos"
+    shutil.copytree(src.path, dst)
+    t = LakeTable.load(spark, dst)
+    cur = t.current_version()
+    t.set_tag("mid-replay", 1 + j)
+    m = t.rollback_to(t.resolve_ref("mid-replay"))
+    # single-batch scale factors replay in one commit: the mid-replay
+    # snapshot IS the current one and rollback is a documented no-op
+    assert m["operation"] == "rollback" or 1 + j == cur
+    return _materialize_and_clean(t.read(), tmp)
+
+
 def q_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once → exactly-once ingest: every 7th event is redelivered
     after the whole original stream (reconnect replay); first_arrival_dedup
@@ -1059,6 +1123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
         "rebucket_replay": q_rebucket_replay,
+        "delete_where_replay": q_delete_where_replay,
+        "update_where_replay": q_update_where_replay,
+        "rollback_replay": q_rollback_replay,
         "time_travel": q_time_travel,
         "snapshot_history": q_snapshot_history,
         "dedup_first_arrival": q_dedup_first_arrival,
@@ -1659,6 +1726,41 @@ WITH ce AS ({ce})
 SELECT op, count(*) AS n_rows FROM ce GROUP BY op
 """,
         "rebucket_replay": _FINAL_STATE_SQL.format(ce=_ce(_ADAPTIVE_BS_SQL)),
+        "delete_where_replay": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+  FROM ce
+)
+SELECT {TABLE_COLS} FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+  AND NOT coalesce(lang = 'python', false)
+""",
+        "update_where_replay": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+  FROM ce
+)
+SELECT repo, path, commit, lang,
+       CASE WHEN lang = 'go' THEN upper(content) ELSE content END AS content,
+       CASE WHEN lang = 'go' THEN sha256(upper(content))
+            ELSE content_sha END AS content_sha,
+       event_seq, event_ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+        "rollback_replay": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+cut AS (SELECT CAST(floor(max(batch_id) / 2) AS BIGINT) AS mb FROM ce),
+ranked AS (
+  SELECT ce.*, row_number() OVER (
+      PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+  FROM ce, cut WHERE batch_id <= mb
+)
+SELECT {TABLE_COLS} FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
         "time_travel": f"""
 WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
 cut AS (SELECT CAST(floor(max(batch_id) / 2) AS BIGINT) AS mb FROM ce),

@@ -760,19 +760,29 @@ def cmd_history(args) -> int:
     if not LakeTable.exists(args.path):
         raise SystemExit(f"history: no lake table at {args.path}")
     t = LakeTable(None, args.path)
+    if args.set_tag:
+        name, eq, v = args.set_tag.partition("=")
+        version = t.set_tag(name, int(v) if eq else None)
+        print(json.dumps({"tag": name, "version": version}))
+        return 0
+    if args.drop_tag:
+        t.drop_tag(args.drop_tag)
+        print(json.dumps({"dropped_tag": args.drop_tag}))
+        return 0
+    tags_by_version: dict[int, list[str]] = {}
+    for name, v in t.tags().items():
+        tags_by_version.setdefault(v, []).append(name)
     for s in t.snapshots():
-        print(
-            json.dumps(
-                {
-                    "version": s.version,
-                    "operation": s.operation,
-                    "total_rows": s.total_rows,
-                    "num_files": s.num_files,
-                    "summary": s.summary,
-                },
-                default=str,
-            )
-        )
+        row = {
+            "version": s.version,
+            "operation": s.operation,
+            "total_rows": s.total_rows,
+            "num_files": s.num_files,
+            "summary": s.summary,
+        }
+        if s.version in tags_by_version:
+            row["tags"] = sorted(tags_by_version[s.version])
+        print(json.dumps(row, default=str))
     return 0
 
 
@@ -1046,6 +1056,75 @@ def cmd_import_all_tables(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Row-level predicate DELETE against a lake table (the GDPR-erasure
+    tool — ``DELETE FROM t WHERE cond``). Bucket-granular copy-on-write:
+    only buckets holding matching rows are rewritten; deleted keys leave
+    payload-free tombstones so out-of-order late events cannot resurrect
+    erased data (LakeTable.delete_where)."""
+    from sqoop_spark.lake import LakeTable
+
+    if not LakeTable.exists(args.path):
+        raise SystemExit(f"delete: no lake table at {args.path}")
+    horizon = args.tombstone_horizon
+    if horizon is not None:
+        try:
+            horizon = int(horizon)
+        except ValueError:
+            try:
+                horizon = float(horizon)
+            except ValueError:
+                pass  # string order columns (ISO timestamps) compare as-is
+    t = LakeTable(_session(args), args.path)
+    before = t.current_version()
+    m = t.delete_where(
+        args.where,
+        tombstone_horizon=horizon,
+        retry_recompute=args.retry_recompute,
+    )
+    if m["version"] == before:
+        print(json.dumps({"noop": True, "rows_deleted": 0}))
+    else:
+        print(json.dumps({
+            "version": m["version"],
+            "rows_deleted": m["summary"]["rows_deleted"],
+            "rewritten_buckets": m["summary"]["rewritten_buckets"],
+        }))
+    return 0
+
+
+def cmd_update(args) -> int:
+    """Row-level predicate UPDATE against a lake table
+    (``UPDATE t SET col=expr WHERE cond``). Same bucket-granular
+    copy-on-write shape as delete (LakeTable.update_where); each --set is
+    ``column=sql_expression`` evaluated against the matching row."""
+    from sqoop_spark.lake import LakeTable
+
+    if not LakeTable.exists(args.path):
+        raise SystemExit(f"update: no lake table at {args.path}")
+    assignments: dict[str, str] = {}
+    for item in args.set:
+        col, eq, expr = item.partition("=")
+        if not eq or not col.strip() or not expr.strip():
+            raise SystemExit(f"update: --set expects column=expression, got {item!r}")
+        assignments[col.strip()] = expr.strip()
+    t = LakeTable(_session(args), args.path)
+    before = t.current_version()
+    m = t.update_where(
+        args.where, assignments, retry_recompute=args.retry_recompute
+    )
+    if m["version"] == before:
+        print(json.dumps({"noop": True, "rows_updated": 0}))
+    else:
+        print(json.dumps({
+            "version": m["version"],
+            "rows_updated": m["summary"]["rows_updated"],
+            "rewritten_buckets": m["summary"]["rewritten_buckets"],
+            "set_columns": m["summary"]["set_columns"],
+        }))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     """Lake-table maintenance: compaction, small-file bin-packing,
     snapshot expiry, orphan cleanup — the operational companion of the
@@ -1082,6 +1161,14 @@ def cmd_maintain(args) -> int:
         out["rewrite"] = m.get("summary", {}) if m["operation"] == "rewrite" else {
             "noop": True
         }
+    if args.rollback is not None:
+        before = t.current_version()
+        m = t.rollback_to(args.rollback)
+        out["rollback"] = (
+            {"version": m["version"], "restored": args.rollback}
+            if m["version"] != before
+            else {"noop": True}
+        )
     if args.expire_snapshots is not None:
         out["expire"] = t.expire_snapshots(keep_last=args.expire_snapshots)
     if args.remove_orphans is not None:
@@ -1091,7 +1178,8 @@ def cmd_maintain(args) -> int:
     if not out:
         raise SystemExit(
             "maintain: one of --compact/--rewrite-small-files/"
-            "--expire-snapshots/--remove-orphans/--rebucket required"
+            "--expire-snapshots/--remove-orphans/--rebucket/--rollback "
+            "required"
         )
     print(json.dumps(out, default=str))
     return 0
@@ -1243,7 +1331,32 @@ def build_parser() -> argparse.ArgumentParser:
 
     hist = sub.add_parser("history", help="snapshot history of a lake table")
     hist.add_argument("--path", required=True)
+    hist.add_argument("--set-tag", metavar="NAME[=VERSION]",
+                      help="tag a snapshot (current version when omitted); "
+                           "tagged snapshots survive --expire-snapshots")
+    hist.add_argument("--drop-tag", metavar="NAME")
     hist.set_defaults(fn=cmd_history)
+
+    dl = sub.add_parser("delete", help="row-level predicate DELETE "
+                                       "(GDPR erasure) on a lake table")
+    dl.add_argument("--path", required=True)
+    dl.add_argument("--where", required=True, metavar="SQL_PREDICATE",
+                    help="rows where this is TRUE are deleted (NULL keeps)")
+    dl.add_argument("--tombstone-horizon", default=None,
+                    help="age out delete markers below this order value")
+    dl.add_argument("--retry-recompute", type=int, default=2,
+                    help="recompute attempts around concurrent commits")
+    dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser("update", help="row-level predicate UPDATE on a "
+                                       "lake table")
+    up.add_argument("--path", required=True)
+    up.add_argument("--where", required=True, metavar="SQL_PREDICATE")
+    up.add_argument("--set", required=True, action="append",
+                    metavar="COLUMN=SQL_EXPRESSION",
+                    help="repeatable; expression sees the matching row")
+    up.add_argument("--retry-recompute", type=int, default=2)
+    up.set_defaults(fn=cmd_update)
 
     rep = sub.add_parser(
         "replicate",
@@ -1278,6 +1391,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rewrite the table into NUM_BUCKETS hash buckets "
                          "(one atomic snapshot; resolves MoR deltas and "
                          "carries tombstones into their new buckets)")
+    mt.add_argument("--rollback", type=int, metavar="VERSION",
+                    help="roll back to snapshot VERSION as a new "
+                         "metadata-only commit (undone batch ids are "
+                         "unfenced for corrected re-application)")
     mt.set_defaults(fn=cmd_maintain)
 
     ev = sub.add_parser("eval", help="ad-hoc SQL")

@@ -1208,6 +1208,248 @@ class LakeTable:
         bs = set(buckets)
         return sum(e["rows"] for e in self.manifest()["files"] if e["bucket"] in bs)
 
+    # -- row-level DML ---------------------------------------------------------------
+
+    @staticmethod
+    def _as_predicate(condition) -> F.Column:
+        """Normalize a SQL string / Column into a total boolean predicate:
+        NULL evaluates to False (SQL DML semantics — DELETE/UPDATE WHERE
+        touches only rows where the condition IS TRUE, never NULL rows)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return F.coalesce(cond.cast("boolean"), F.lit(False))
+
+    def _matched_buckets(self, state: DataFrame, pred: F.Column) -> dict[int, int]:
+        """Discovery probe: bucket id → matched-row count over the logical
+        state. One scan with column pruning (only the predicate's columns
+        plus the key columns reach the reader); the result is bounded by
+        ``num_buckets`` rows — the same tiny-collect shape as the
+        merge-apply affected-bucket probe (cdc/merge.py)."""
+        rows = (
+            state.filter(pred)
+            .groupBy(self.bucket_expr().alias("_b"))
+            .count()
+            .collect()
+        )
+        return {int(r["_b"]): int(r["count"]) for r in rows}
+
+    def _dml_bucket_winners(self, base: dict, buckets: set[int]) -> DataFrame:
+        """Newest-wins winners of ``buckets`` at ``base`` WITH the ``_op``
+        column retained — winning CDC delete markers included, so a DML
+        rewrite of a bucket holding unmerged deltas or retained tombstones
+        never drops the markers that guard against out-of-order
+        resurrection (the same contract as ``_compact_once``). Bucket-
+        granular like ``_read_state``: only buckets with unmerged
+        non-tombstone deltas pay the resolve window; plain buckets scan
+        base files (live winners) and tombstone files (delete winners)
+        as-is — their key sets are disjoint by the compaction contract, so
+        no shuffle is needed there."""
+        version = base["version"]
+        entries = [e for e in base["files"] if e["bucket"] in buckets]
+        rb = self._resolve_buckets(entries)
+        plain = [
+            e
+            for e in entries
+            if e["bucket"] not in rb and not e.get("tombstone")
+        ]
+        plain_tomb = [
+            e for e in entries if e["bucket"] not in rb and e.get("tombstone")
+        ]
+        out = self._read_files(plain, version, with_op=True)
+        if plain_tomb:
+            out = out.unionByName(
+                self._read_files(plain_tomb, version, with_op=True)
+            )
+        if rb:
+            need = [e for e in entries if e["bucket"] in rb]
+            out = out.unionByName(
+                self._resolve_winners(
+                    self._read_files(need, version, with_op=True)
+                )
+            )
+        return out
+
+    def delete_where(
+        self,
+        condition,
+        batch_id: int | None = None,
+        summary: dict | None = None,
+        tombstone_horizon=None,
+        retry_recompute: int = 0,
+    ) -> dict:
+        """Row-level predicate DELETE (Iceberg/Delta ``DELETE FROM t WHERE
+        cond`` — the GDPR-erasure primitive the CDC event stream cannot
+        express, because erasure is a statement about the TABLE, not an
+        event from the source; the reference has no analog — Sqoop tables
+        are write-once exports).
+
+        Copy-on-write at bucket granularity: one discovery scan finds the
+        buckets holding matching rows (collect bounded by ``num_buckets``),
+        only those buckets are resolved and rewritten without the matching
+        rows, everything else is carried by reference — O(scan) +
+        O(affected buckets) write, never O(table) write. Rows where the
+        condition is NULL are KEPT (SQL DML semantics).
+
+        Deleted keys are retained as tombstone delta rows — key columns and
+        the order column only, every other column NULLed so the erased
+        payload does not survive in the marker — at their original order
+        values: a late out-of-order event with a LOWER order value loses to
+        the tombstone instead of resurrecting erased data, while a genuinely
+        newer upsert legitimately re-creates the key (``compact``'s
+        out-of-order contract). ``tombstone_horizon`` ages markers out as in
+        :meth:`compact`. A bucket that also held unmerged MoR deltas is
+        compacted by the rewrite (same output the compactor would produce).
+
+        Base-pinned commit; ``retry_recompute`` > 0 re-runs the whole
+        delete against the fresh manifest on a lost commit race (the
+        standing-writer loop, as :meth:`compact`). No-match is a no-op:
+        returns the current manifest without committing.
+        """
+        pred = self._as_predicate(condition)
+        attempt = 0
+        while True:
+            try:
+                return self._delete_where_once(
+                    pred, batch_id, summary, tombstone_horizon
+                )
+            except ConcurrentCommitError:
+                if attempt >= retry_recompute:
+                    raise
+                attempt += 1
+
+    def _delete_where_once(
+        self, pred: F.Column, batch_id, summary, tombstone_horizon
+    ) -> dict:
+        base = self.manifest()
+        counts = self._matched_buckets(
+            self._read_state(base["version"], None), pred
+        )
+        if not counts:
+            return base
+        bs = set(counts)
+        win = self._dml_bucket_winners(base, bs).persist()
+        try:
+            live = win.filter(F.col("_op") != "delete")
+            keep = live.filter(~pred).drop("_op")
+            # GDPR marker: keys + order value survive, the payload does not
+            erased = live.filter(pred).select(
+                *[
+                    F.col(f.name)
+                    if f.name in self.key_columns or f.name == self.order_column
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in self.schema().fields
+                ],
+                F.lit("delete").alias("_op"),
+            )
+            tomb = win.filter(F.col("_op") == "delete").unionByName(erased)
+            entries, tomb_entries = self._write_live_and_tombstones(
+                keep, tomb, tombstone_horizon
+            )
+        finally:
+            win.unpersist()
+        carried = [e for e in base["files"] if e["bucket"] not in bs]
+        return self._commit(
+            "delete",
+            carried + entries + tomb_entries,
+            batch_id,
+            {
+                **(summary or {}),
+                "rows_deleted": sum(counts.values()),
+                "rewritten_buckets": len(bs),
+            },
+            None,
+            base=base,
+        )
+
+    def update_where(
+        self,
+        condition,
+        assignments: dict,
+        batch_id: int | None = None,
+        summary: dict | None = None,
+        retry_recompute: int = 0,
+    ) -> dict:
+        """Row-level predicate UPDATE (Iceberg/Delta ``UPDATE t SET ...
+        WHERE cond``) — same bucket-granular copy-on-write shape as
+        :meth:`delete_where`: discovery scan, resolve-and-rewrite only the
+        affected buckets, carry the rest by reference.
+
+        ``assignments`` maps column name → new value (SQL expression string
+        or Column, evaluated against the matching row — e.g.
+        ``{"content": "reverse(content)"}``). Key columns cannot be
+        assigned (that would be a delete+insert, not an update — use the
+        two DML calls). Assigning the order column is allowed but changes
+        which future CDC events win against the row; the updated row
+        otherwise keeps its original order value, so a newer source event
+        still supersedes the manual update. Rows where the condition is
+        NULL are untouched (SQL DML semantics). Winning CDC delete markers
+        in rewritten buckets are carried forward unchanged.
+        """
+        exprs = {
+            c: (F.expr(v) if isinstance(v, str) else v)
+            for c, v in assignments.items()
+        }
+        if not exprs:
+            raise EngineError("update_where: empty assignments")
+        schema_names = self.schema().fieldNames()
+        bad = [c for c in exprs if c not in schema_names]
+        if bad:
+            raise EngineError(f"update_where: no such column(s): {bad}")
+        keyed = [c for c in exprs if c in self.key_columns]
+        if keyed:
+            raise EngineError(
+                f"update_where: cannot assign key column(s) {keyed} — a key "
+                "change is a delete + insert, not an update"
+            )
+        pred = self._as_predicate(condition)
+        attempt = 0
+        while True:
+            try:
+                return self._update_where_once(pred, exprs, batch_id, summary)
+            except ConcurrentCommitError:
+                if attempt >= retry_recompute:
+                    raise
+                attempt += 1
+
+    def _update_where_once(
+        self, pred: F.Column, exprs: dict[str, F.Column], batch_id, summary
+    ) -> dict:
+        base = self.manifest()
+        counts = self._matched_buckets(
+            self._read_state(base["version"], None), pred
+        )
+        if not counts:
+            return base
+        bs = set(counts)
+        win = self._dml_bucket_winners(base, bs).persist()
+        try:
+            live = win.filter(F.col("_op") != "delete").drop("_op")
+            updated = live.filter(pred).select(
+                *[
+                    (exprs[f.name].cast(f.dataType) if f.name in exprs else F.col(f.name)).alias(f.name)
+                    for f in self.schema().fields
+                ]
+            )
+            new_live = live.filter(~pred).unionByName(updated)
+            entries, tomb_entries = self._write_live_and_tombstones(
+                new_live, win.filter(F.col("_op") == "delete"), None
+            )
+        finally:
+            win.unpersist()
+        carried = [e for e in base["files"] if e["bucket"] not in bs]
+        return self._commit(
+            "update",
+            carried + entries + tomb_entries,
+            batch_id,
+            {
+                **(summary or {}),
+                "rows_updated": sum(counts.values()),
+                "rewritten_buckets": len(bs),
+                "set_columns": sorted(exprs),
+            },
+            None,
+            base=base,
+        )
+
     def patch_lineage(
         self, manifest: dict, lineage: dict, merge_summary: bool = True
     ) -> None:
@@ -1227,6 +1469,99 @@ class LakeTable:
         os.replace(tmp, path)
         self._manifest_cache[manifest["version"]] = manifest
 
+    # -- rollback / refs -------------------------------------------------------------
+
+    def rollback_to(self, version: int) -> dict:
+        """Roll the table back to snapshot ``version`` as a NEW commit
+        (Iceberg ``rollback_to_snapshot``): the new manifest re-references
+        the target's file list, schema, bucket layout and properties —
+        metadata-only, zero data movement, O(1) in table size — while the
+        version line keeps moving forward, so concurrent readers are
+        unaffected and the undone snapshots remain time-travelable until
+        ``expire_snapshots``.
+
+        The exactly-once fence is restored to the TARGET's fence set: the
+        point of a rollback is to undo bad batches, and an undone batch
+        must be re-appliable (its corrected replacement carries the same
+        batch id). The atomic manifest link makes a rollback racing any
+        other writer surface as ``ConcurrentCommitError``.
+        """
+        cur = self.current_version() or 0
+        if not (1 <= version <= cur) or not self.manifest_exists(version):
+            raise EngineError(
+                f"rollback_to: version {version} not in [1, {cur}] "
+                "(expired or never committed)"
+            )
+        current = self.manifest()
+        if version == current["version"]:
+            return current
+        target = self.manifest(version)
+        new = {
+            "format_version": FORMAT_VERSION,
+            "version": current["version"] + 1,
+            "parent": current["version"],
+            "operation": "rollback",
+            "schema": target["schema"],
+            "key_columns": target["key_columns"],
+            "num_buckets": target["num_buckets"],
+            "properties": target.get("properties", {}),
+            "files": target["files"],
+            "summary": {"rollback_to": version, "batch_id": None},
+            "fenced_batch_ids": list(target["fenced_batch_ids"]),
+            "lineage": None,
+        }
+        self._write_manifest(new)
+        return new
+
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.manifest_dir, "refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tags): name → version."""
+        try:
+            with open(self._refs_path) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def set_tag(self, name: str, version: int | None = None) -> int:
+        """Tag a snapshot with a stable name (audit marks: ``pre-migration``,
+        ``eoy-2025``). Tagged snapshots are retained by
+        :meth:`expire_snapshots` regardless of ``keep_last`` — the ref IS
+        the retention declaration. Refs are advisory metadata outside the
+        atomic commit swap (tmp+rename; concurrent taggers last-write-win),
+        never load-bearing for correctness."""
+        v = int(version) if version is not None else (self.current_version() or 0)
+        if not (1 <= v <= (self.current_version() or 0)) or not self.manifest_exists(v):
+            raise EngineError(f"set_tag: version {v} not committed (or expired)")
+        refs = self.tags()
+        refs[name] = v
+        tmp = self._refs_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+        os.replace(tmp, self._refs_path)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        refs = self.tags()
+        if name not in refs:
+            raise EngineError(f"drop_tag: no tag {name!r}")
+        del refs[name]
+        tmp = self._refs_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+        os.replace(tmp, self._refs_path)
+
+    def resolve_ref(self, ref: str | int) -> int:
+        """A version number, or a tag name → its version."""
+        if isinstance(ref, int):
+            return ref
+        refs = self.tags()
+        if ref in refs:
+            return refs[ref]
+        raise EngineError(f"resolve_ref: no tag {ref!r}")
+
     # -- maintenance ---------------------------------------------------------------
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
@@ -1234,17 +1569,26 @@ class LakeTable:
         snapshot references (Iceberg expire_snapshots / remove_orphan_files
         semantics). Keeps the newest ``keep_last`` versions readable; time
         travel before that window is gone. The current manifest is never
-        touched, so readers of retained versions are unaffected.
+        touched, so readers of retained versions are unaffected. Tagged
+        versions (:meth:`set_tag`) are retained — manifest and data files —
+        regardless of age: a ref is a retention declaration (Iceberg's
+        tag-aware expiry).
         """
         current = self.current_version()
         if current is None or keep_last < 1:
             raise EngineError("expire_snapshots: need an existing table, keep_last >= 1")
         cutoff = max(1, current - keep_last + 1)
+        tagged = set(self.tags().values())
+        keep_versions = set(range(cutoff, current + 1)) | tagged
         keep_paths: set[str] = set()
-        for v in range(cutoff, current + 1):
-            keep_paths.update(e["path"] for e in self.manifest(v)["files"])
+        for v in sorted(keep_versions):
+            if self.manifest_exists(v):
+                keep_paths.update(e["path"] for e in self.manifest(v)["files"])
         removed_files = 0
+        expired = 0
         for v in range(1, cutoff):
+            if v in tagged:
+                continue
             mpath = os.path.join(self.manifest_dir, f"v{v:08d}.json")
             if not os.path.exists(mpath):
                 continue
@@ -1254,9 +1598,10 @@ class LakeTable:
                     os.unlink(full)
                     removed_files += 1
             os.unlink(mpath)
+            expired += 1
             self._manifest_cache.pop(v, None)
         return {
-            "expired_versions": max(0, cutoff - 1),
+            "expired_versions": expired,
             "removed_files": removed_files,
             "kept_from": cutoff,
         }
