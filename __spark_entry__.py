@@ -895,6 +895,35 @@ def q_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(t.read(), tmp)
 
 
+def q_incremental_read_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-order rewrite (``rewrite_clustered`` — Iceberg's sort-order
+    rewrite) proven through the incremental read it exists for: on a
+    hash-bucketed MERGE table every CoW file spans the full order range,
+    so ``read_since`` zone maps cannot prune (the documented limit).
+    Clustering sorts each bucket by ``event_seq`` and splits it into
+    narrow-range files; a consumer resuming from the 80th-percentile
+    watermark then opens a strict subset of the files (asserted in-query)
+    and must return exactly the newest-wins rows above the watermark."""
+    from sqoop_spark.lake import LakeTable
+
+    src, _j = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_cluster_")
+    dst = f"{tmp}/repos"
+    shutil.copytree(src.path, dst)
+    t = LakeTable.load(spark, dst)
+    per_bucket = t.total_rows() // t.num_buckets
+    t.rewrite_clustered(target_rows=max(50, per_bucket // 4))
+    cut = _events(spark, sf_dir).agg(
+        F.floor(F.max("event_seq") * 4 / 5).cast("long")
+    ).collect()[0][0]
+    since = t.read_since("event_seq", cut)
+    n_files = len(t.manifest()["files"])
+    assert len(since.inputFiles()) < n_files, (
+        "clustered zone maps must skip low-range files on a merge table"
+    )
+    return _materialize_and_clean(since, tmp)
+
+
 def q_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once → exactly-once ingest: every 7th event is redelivered
     after the whole original stream (reconnect replay); first_arrival_dedup
@@ -1126,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where_replay": q_delete_where_replay,
         "update_where_replay": q_update_where_replay,
         "rollback_replay": q_rollback_replay,
+        "incremental_read_clustered": q_incremental_read_clustered,
         "time_travel": q_time_travel,
         "snapshot_history": q_snapshot_history,
         "dedup_first_arrival": q_dedup_first_arrival,
@@ -1760,6 +1790,17 @@ ranked AS (
   FROM ce, cut WHERE batch_id <= mb
 )
 SELECT {TABLE_COLS} FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+        "incremental_read_clustered": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+  FROM ce
+),
+cut AS (SELECT CAST(floor(max(event_seq) * 4 / 5) AS BIGINT) AS x FROM ce)
+SELECT {TABLE_COLS} FROM ranked, cut
+WHERE rn = 1 AND op <> 'delete' AND event_seq > x
 """,
         "time_travel": f"""
 WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),

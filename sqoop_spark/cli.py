@@ -1140,6 +1140,7 @@ def cmd_maintain(args) -> int:
         args.compact
         or args.rewrite_small_files is not None
         or args.rebucket is not None
+        or args.cluster_by is not None
     )
     t = LakeTable(_session(args) if needs_spark else None, args.path)
     if args.compact:
@@ -1161,6 +1162,15 @@ def cmd_maintain(args) -> int:
         out["rewrite"] = m.get("summary", {}) if m["operation"] == "rewrite" else {
             "noop": True
         }
+    if args.cluster_by is not None:
+        before = t.current_version()
+        m = t.rewrite_clustered(
+            column=args.cluster_by or None,
+            target_rows=args.cluster_file_rows,
+        )
+        out["cluster"] = (
+            m["summary"] if m["version"] != before else {"noop": True}
+        )
     if args.rollback is not None:
         before = t.current_version()
         m = t.rollback_to(args.rollback)
@@ -1178,8 +1188,8 @@ def cmd_maintain(args) -> int:
     if not out:
         raise SystemExit(
             "maintain: one of --compact/--rewrite-small-files/"
-            "--expire-snapshots/--remove-orphans/--rebucket/--rollback "
-            "required"
+            "--cluster-by/--expire-snapshots/--remove-orphans/--rebucket/"
+            "--rollback required"
         )
     print(json.dumps(out, default=str))
     return 0
@@ -1391,6 +1401,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rewrite the table into NUM_BUCKETS hash buckets "
                          "(one atomic snapshot; resolves MoR deltas and "
                          "carries tombstones into their new buckets)")
+    mt.add_argument("--cluster-by", nargs="?", const="", default=None,
+                    metavar="COLUMN",
+                    help="sort-order rewrite: cluster each bucket's base "
+                         "files by COLUMN (default: the order column) so "
+                         "zone maps prune incremental reads on merge "
+                         "tables; delta-holding buckets are skipped "
+                         "(compact first)")
+    mt.add_argument("--cluster-file-rows", type=int, default=1_000_000,
+                    metavar="TARGET_ROWS",
+                    help="rows per clustered file (zone-map granularity)")
     mt.add_argument("--rollback", type=int, metavar="VERSION",
                     help="roll back to snapshot VERSION as a new "
                          "metadata-only commit (undone batch ids are "

@@ -632,23 +632,38 @@ class LakeTable:
     # -- writes ------------------------------------------------------------------
 
     def _write_data_files(
-        self, df: DataFrame, delta: bool = False, tombstone: bool = False
+        self,
+        df: DataFrame,
+        delta: bool = False,
+        tombstone: bool = False,
+        sort_within: list[str] | None = None,
+        max_records_per_file: int | None = None,
+        extra_stats_cols: list[str] | None = None,
     ) -> list[dict]:
         """Write df (current schema + ``_bucket``) as bucket-partitioned parquet.
 
         Returns manifest file entries. One shuffle by ``_bucket`` so each
         bucket lands in few files; parquet row counts come from the footers
         (the metadata pass Iceberg gets from task commit messages).
+
+        ``sort_within`` overrides the within-partition sort (default: the
+        key columns); with ``max_records_per_file`` the writer splits each
+        bucket into sequential chunks of the sorted order, so every file
+        covers a NARROW range of the sort column — the zone-map clustering
+        contract of :meth:`rewrite_clustered`. ``extra_stats_cols`` adds
+        columns to the per-file min/max recording for this write.
         """
         m = self.manifest()
         rel_dir = os.path.join("data", uuid.uuid4().hex)
         out_dir = os.path.join(self.path, rel_dir)
-        (
+        writer = (
             df.repartition(F.col("_bucket"))
-            .sortWithinPartitions(*self.key_columns)
+            .sortWithinPartitions(*(sort_within or self.key_columns))
             .write.partitionBy("_bucket")
-            .parquet(out_dir, compression="zstd")
         )
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.parquet(out_dir, compression="zstd")
         id_by_name = {f["name"]: f["id"] for f in m["schema"]["fields"]}
         columns = {str(id_by_name[f["name"]]): f["name"] for f in m["schema"]["fields"]}
         found: list[tuple[str, int]] = []
@@ -667,7 +682,11 @@ class LakeTable:
         # messages; a thread pool is the local-FS equivalent).
         from concurrent.futures import ThreadPoolExecutor
 
-        stat_cols = [c for c in self.stats_columns() if c in id_by_name]
+        wanted_stats = list(self.stats_columns())
+        for c in extra_stats_cols or []:
+            if c not in wanted_stats:
+                wanted_stats.append(c)
+        stat_cols = [c for c in wanted_stats if c in id_by_name]
 
         def entry(item: tuple[str, int]) -> dict:
             full, bucket = item
@@ -1009,6 +1028,85 @@ class LakeTable:
                 "rewritten_files": len(rewritten),
                 "new_files": len(entries),
                 "buckets": len(target),
+            },
+            None,
+            base=base,
+        )
+
+    def rewrite_clustered(
+        self,
+        column: str | None = None,
+        target_rows: int = 1_000_000,
+        buckets: Iterable[int] | None = None,
+        batch_id: int | None = None,
+    ) -> dict:
+        """Cluster each bucket's base files by ``column`` (default: the
+        order column) — Iceberg's sort-order rewrite, the maintenance pass
+        that gives MERGE tables zone-map pruning on the incremental axis.
+
+        On a hash-bucketed merge table every CoW rewrite spans the full
+        order range (each bucket holds the newest row of EVERY key it has
+        ever seen), so ``read_since`` zone maps cannot skip its files: an
+        incremental consumer re-reads whole buckets forever. This rewrite
+        sorts each bucket by ``column`` and splits it into files of
+        ``target_rows`` sequential rows — each file then covers a NARROW
+        ``[min, max]`` of the column, recorded in the manifest zone maps
+        (``column`` is added to this write's stats even when it is not a
+        table ``stats_columns`` property), and a consumer resuming from a
+        recent watermark opens only the tail files. Recently-updated keys
+        cluster in the high-order files — exactly the rows an incremental
+        consumer wants.
+
+        Buckets holding unmerged non-tombstone deltas are SKIPPED (carry
+        by reference): their logical state is not their base files —
+        ``compact`` first, then cluster (the standing-maintenance order).
+        Tombstone files and skipped buckets carry by reference; the commit
+        is base-pinned. A no-op (no eligible base files) returns the
+        current manifest without committing.
+
+        Note: size ``rewrite_small_files``'s ``target_rows`` consistently —
+        bin-packing a clustered bucket re-merges its files without the
+        sort and undoes the clustering.
+        """
+        base = self.manifest()
+        col = column or self.order_column
+        if col not in self.schema().fieldNames():
+            raise EngineError(f"rewrite_clustered: no column {col!r} in table schema")
+        skip = self._resolve_buckets(base["files"])
+        chosen = set(buckets) if buckets is not None else None
+        target: dict[int, list[dict]] = {}
+        for e in base["files"]:
+            if (
+                not e.get("delta")
+                and e["bucket"] not in skip
+                and (chosen is None or e["bucket"] in chosen)
+            ):
+                target.setdefault(e["bucket"], []).append(e)
+        if not target:
+            return base
+        rewritten = [e for files in target.values() for e in files]
+        df = self._read_files(rewritten, version=base["version"])
+        entries = self._write_data_files(
+            self._prepare_df(df),
+            sort_within=["_bucket", col],
+            max_records_per_file=target_rows,
+            extra_stats_cols=[col],
+        )
+        carried = [
+            e
+            for e in base["files"]
+            if e.get("delta") or e["bucket"] not in target
+        ]
+        return self._commit(
+            "cluster",
+            carried + entries,
+            batch_id,
+            {
+                "cluster_column": col,
+                "rewritten_files": len(rewritten),
+                "new_files": len(entries),
+                "buckets": len(target),
+                "skipped_delta_buckets": len(skip),
             },
             None,
             base=base,
