@@ -355,6 +355,47 @@ def main() -> None:
         )
     )
 
+    # -- round 4 third part: DML discovery + sort-order clustering -------------
+    probe = (
+        lt.read()
+        .filter(F.col("v") == "v5")
+        .groupBy(lt.bucket_expr().alias("_b"))
+        .count()
+    )
+    sections.append(
+        (
+            "DML discovery probe (delete_where / update_where)",
+            "Predicate DML starts with ONE discovery scan whose ReadSchema "
+            "carries only the key and predicate columns (column pruning to "
+            "the parquet reader — `seq` never leaves the footer) and whose "
+            "result is a ≤ num_buckets-row collect of (bucket, matched "
+            "count): the rewrite then touches ONLY those buckets, the rest "
+            "carry by reference. tests/test_dml.py pins the carry-by-"
+            "reference file paths.",
+            formatted(probe),
+        )
+    )
+
+    lt.rewrite_clustered(target_rows=15)
+    c_entries = lt.manifest()["files"]
+    c_since = lt.read_since("seq", 320)
+    c_opened = len(c_since.inputFiles())
+    sections.append(
+        (
+            "Clustered incremental read on a merge table (rewrite_clustered)",
+            "Before clustering, every merge-table file spans the full order "
+            "range and read_since opens ALL of them. rewrite_clustered "
+            "sorts each bucket by the order column and splits it into "
+            "narrow-range files with per-file zone maps; the same "
+            f"watermark read now opens {c_opened} of {len(c_entries)} "
+            "files — the scan's Location lists only the tail files. "
+            "tests/test_cluster.py pins disjoint within-bucket ranges and "
+            "the tail-only open set; oracle incremental_read_clustered "
+            "value-hashes the result.",
+            formatted(c_since),
+        )
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by "
