@@ -895,6 +895,48 @@ def q_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(t.read(), tmp)
 
 
+def q_merge_into_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic clause-driven MERGE (``LakeTable.merge_into`` — Iceberg/
+    Delta ``MERGE INTO``) with all three clauses firing in ONE commit
+    against the cloned staged replay: source rows derived from the state
+    itself delete every ``js`` row (``when_matched_delete``), rewrite
+    every ``md`` row's content + sha fingerprint
+    (``when_matched_update`` dict over the s alias), and insert a
+    ``#new``-suffixed twin of every ``rust`` row
+    (``when_not_matched_insert``). DuckDB reproduces the exact post-merge
+    state from newest-wins with a CASE projection + anti-filter + union."""
+    from sqoop_spark.lake import LakeTable
+
+    src_t, _j = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_mi_")
+    dst = f"{tmp}/repos"
+    shutil.copytree(src_t.path, dst)
+    t = LakeTable.load(spark, dst)
+    st = t.read()
+    dels = st.filter(F.col("lang") == "js")
+    upd = (
+        st.filter(F.col("lang") == "md")
+        .withColumn("content", F.concat(F.lit("MERGED:"), F.col("path")))
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+    )
+    ins = (
+        st.filter(F.col("lang") == "rust")
+        .withColumn("path", F.concat(F.col("path"), F.lit("#new")))
+        .withColumn("content", F.concat(F.lit("NEW:"), F.col("path")))
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+    )
+    t.merge_into(
+        dels.unionByName(upd).unionByName(ins),
+        when_matched_delete="s.lang = 'js'",
+        when_matched_update={
+            "content": "s.content",
+            "content_sha": "s.content_sha",
+        },
+        when_not_matched_insert=True,
+    )
+    return _materialize_and_clean(t.read(), tmp)
+
+
 def q_incremental_read_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-order rewrite (``rewrite_clustered`` — Iceberg's sort-order
     rewrite) proven through the incremental read it exists for: on a
@@ -1155,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where_replay": q_delete_where_replay,
         "update_where_replay": q_update_where_replay,
         "rollback_replay": q_rollback_replay,
+        "merge_into_replay": q_merge_into_replay,
         "incremental_read_clustered": q_incremental_read_clustered,
         "time_travel": q_time_travel,
         "snapshot_history": q_snapshot_history,
@@ -1790,6 +1833,27 @@ ranked AS (
   FROM ce, cut WHERE batch_id <= mb
 )
 SELECT {TABLE_COLS} FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+        "merge_into_replay": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+  FROM ce
+),
+st AS (SELECT {TABLE_COLS} FROM ranked WHERE rn = 1 AND op <> 'delete')
+SELECT repo, path, commit, lang,
+       CASE WHEN lang = 'md' THEN 'MERGED:' || path ELSE content END AS content,
+       CASE WHEN lang = 'md' THEN sha256('MERGED:' || path)
+            ELSE content_sha END AS content_sha,
+       event_seq, event_ts
+FROM st WHERE lang <> 'js'
+UNION ALL
+SELECT repo, path || '#new' AS path, commit, lang,
+       'NEW:' || path || '#new' AS content,
+       sha256('NEW:' || path || '#new') AS content_sha,
+       event_seq, event_ts
+FROM st WHERE lang = 'rust'
 """,
         "incremental_read_clustered": f"""
 WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),

@@ -1548,6 +1548,230 @@ class LakeTable:
             base=base,
         )
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched_update=None,
+        update_condition=None,
+        when_matched_delete=False,
+        when_not_matched_insert=True,
+        batch_id: int | None = None,
+        summary: dict | None = None,
+        retry_recompute: int = 0,
+    ) -> dict:
+        """Generic clause-driven MERGE (Iceberg/Delta ``MERGE INTO target
+        USING source ON keys``) — the frame-driven sibling of the CDC
+        newest-wins merge: the caller states WHAT happens to matched /
+        unmatched rows instead of relying on the order column.
+
+        The join is always on the table's key columns (that is what routes
+        rows to buckets; a non-key merge would be a full-table join).
+        Clauses, applied in Delta's order:
+
+        - ``when_matched_delete``: ``True`` or a SQL condition over the
+          aliases ``t`` (target row) / ``s`` (source row) — matching rows
+          are deleted, leaving the same payload-free tombstones as
+          :meth:`delete_where` (stale out-of-order replays cannot
+          resurrect them).
+        - ``when_matched_update``: ``"source"`` (take the source row
+          wholesale — the classic upsert) or a dict ``column → SQL
+          expression over t/s`` (key columns not assignable);
+          ``update_condition`` optionally gates the clause. A matched row
+          hit by neither clause carries unchanged.
+        - ``when_not_matched_insert``: ``True`` (insert the source row —
+          source must carry every table column) or a dict ``column →
+          expression over s`` (unlisted non-key columns insert as NULL);
+          ``False`` drops unmatched source rows.
+
+        Physical shape = the DML/CoW contract: one aggregate over the
+        source validates key uniqueness and non-null keys (Delta's
+        multiple-source-rows error), one probe collects the affected
+        bucket ids (bounded by ``num_buckets``), only those buckets
+        resolve-and-rewrite (winning CDC delete markers carried as in
+        :meth:`delete_where`), everything else carries by reference.
+        Base-pinned commit; ``retry_recompute`` re-runs against the fresh
+        manifest on a lost race. An empty source is a no-op.
+        """
+        schema = self.schema()
+        names = schema.fieldNames()
+        missing_keys = [k for k in self.key_columns if k not in source.columns]
+        if missing_keys:
+            raise EngineError(f"merge_into: source missing key column(s) {missing_keys}")
+        upd: dict[str, F.Column] | str | None = None
+        if when_matched_update is not None:
+            if when_matched_update == "source":
+                upd = "source"
+            elif isinstance(when_matched_update, dict):
+                bad = [c for c in when_matched_update if c not in names]
+                if bad:
+                    raise EngineError(f"merge_into: no such column(s): {bad}")
+                keyed = [c for c in when_matched_update if c in self.key_columns]
+                if keyed:
+                    raise EngineError(
+                        f"merge_into: cannot assign key column(s) {keyed}"
+                    )
+                upd = {
+                    c: (F.expr(v) if isinstance(v, str) else v)
+                    for c, v in when_matched_update.items()
+                }
+            else:
+                raise EngineError(
+                    "merge_into: when_matched_update must be 'source' or a dict"
+                )
+        ins = when_not_matched_insert
+        if isinstance(ins, dict):
+            bad = [c for c in ins if c not in names]
+            if bad:
+                raise EngineError(f"merge_into: no such column(s): {bad}")
+            ins = {
+                c: (F.expr(v) if isinstance(v, str) else v) for c, v in ins.items()
+            }
+        elif ins is True:
+            missing = [n for n in names if n not in source.columns]
+            if missing:
+                raise EngineError(
+                    "merge_into: when_not_matched_insert=True needs every "
+                    f"table column in the source; missing {missing}"
+                )
+        if (upd == "source") and any(n not in source.columns for n in names):
+            raise EngineError(
+                "merge_into: when_matched_update='source' needs every table "
+                "column in the source"
+            )
+        del_cond = when_matched_delete
+        if del_cond is True:
+            del_cond = F.lit(True)
+        elif isinstance(del_cond, str):
+            del_cond = F.expr(del_cond)
+        elif del_cond is False:
+            del_cond = None
+        upd_cond = (
+            F.expr(update_condition)
+            if isinstance(update_condition, str)
+            else update_condition
+        )
+        attempt = 0
+        while True:
+            try:
+                return self._merge_into_once(
+                    source, upd, upd_cond, del_cond, ins, batch_id, summary
+                )
+            except ConcurrentCommitError:
+                if attempt >= retry_recompute:
+                    raise
+                attempt += 1
+
+    def _merge_into_once(
+        self, source, upd, upd_cond, del_cond, ins, batch_id, summary
+    ) -> dict:
+        base = self.manifest()
+        keys = self.key_columns
+        nk = F.lit(False)
+        for k in keys:
+            nk = nk | F.col(k).isNull()
+        stats = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.max("n").alias("mx"),
+                F.max(nk.cast("int")).alias("has_null"),
+                F.count(F.lit(1)).alias("n_keys"),
+            )
+            .collect()[0]
+        )
+        if stats["n_keys"] == 0:
+            return base
+        if stats["has_null"]:
+            raise EngineError("merge_into: NULL merge key in source")
+        if stats["mx"] > 1:
+            raise EngineError(
+                "merge_into: multiple source rows share a merge key — "
+                "reduce the source first (Delta's multiple-matches error)"
+            )
+        bs = {
+            int(r["_b"])
+            for r in source.select(self.bucket_expr().alias("_b")).distinct().collect()
+        }
+        win = self._dml_bucket_winners(base, bs).persist()
+        try:
+            live = win.filter(F.col("_op") != "delete").drop("_op")
+            t, s = live.alias("t"), source.alias("s")
+            cond = None
+            for k in keys:
+                p = F.col(f"t.{k}") == F.col(f"s.{k}")
+                cond = p if cond is None else (cond & p)
+            j = t.join(s, cond, "full_outer")
+            has_t = F.col(f"t.{keys[0]}").isNotNull()
+            has_s = F.col(f"s.{keys[0]}").isNotNull()
+            matched = has_t & has_s
+
+            def total(c):  # NULL condition never fires a clause
+                return F.coalesce(c.cast("boolean"), F.lit(False))
+
+            del_p = matched & (total(del_cond) if del_cond is not None else F.lit(False))
+            upd_p = matched & (
+                F.lit(upd is not None)
+                & (total(upd_cond) if upd_cond is not None else F.lit(True))
+            )
+            ins_enabled = ins is not False
+
+            def upd_val(f):
+                if upd == "source":
+                    return F.col(f"s.{f.name}")
+                if isinstance(upd, dict) and f.name in upd:
+                    return upd[f.name]
+                return F.col(f"t.{f.name}")
+
+            def ins_val(f):
+                if f.name in keys:
+                    return F.col(f"s.{f.name}")
+                if ins is True:
+                    return F.col(f"s.{f.name}")
+                if isinstance(ins, dict) and f.name in ins:
+                    return ins[f.name]
+                return F.lit(None).cast(f.dataType)
+
+            live_out = j.filter(
+                (has_t & ~del_p) | (~has_t & F.lit(ins_enabled))
+            ).select(
+                *[
+                    F.when(~has_t, ins_val(f).cast(f.dataType))
+                    .when(upd_p, upd_val(f).cast(f.dataType))
+                    .otherwise(F.col(f"t.{f.name}"))
+                    .alias(f.name)
+                    for f in self.schema().fields
+                ]
+            )
+            tomb_new = j.filter(del_p).select(
+                *[
+                    F.col(f"t.{f.name}")
+                    if f.name in keys or f.name == self.order_column
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in self.schema().fields
+                ],
+                F.lit("delete").alias("_op"),
+            )
+            tomb = win.filter(F.col("_op") == "delete").unionByName(tomb_new)
+            entries, tomb_entries = self._write_live_and_tombstones(
+                live_out, tomb, None
+            )
+        finally:
+            win.unpersist()
+        carried = [e for e in base["files"] if e["bucket"] not in bs]
+        return self._commit(
+            "merge-into",
+            carried + entries + tomb_entries,
+            batch_id,
+            {
+                **(summary or {}),
+                "source_keys": int(stats["n_keys"]),
+                "rewritten_buckets": len(bs),
+                "tombstones": sum(e["rows"] for e in tomb_entries),
+            },
+            None,
+            base=base,
+        )
+
     def patch_lineage(
         self, manifest: dict, lineage: dict, merge_summary: bool = True
     ) -> None:
