@@ -1125,6 +1125,51 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_merge_into(args) -> int:
+    """Generic clause-driven MERGE (Iceberg/Delta ``MERGE INTO``): merge a
+    parquet source frame into a lake table on its key columns. Clauses
+    mirror LakeTable.merge_into: --update col=expr (repeatable, t/s
+    aliases; or --update-source for the wholesale upsert), --delete-when
+    COND, --insert/--no-insert."""
+    from sqoop_spark.lake import LakeTable
+
+    if not LakeTable.exists(args.path):
+        raise SystemExit(f"merge-into: no lake table at {args.path}")
+    upd = None
+    if args.update_source:
+        upd = "source"
+    elif args.update:
+        upd = {}
+        for item in args.update:
+            col, eq, expr = item.partition("=")
+            if not eq or not col.strip() or not expr.strip():
+                raise SystemExit(
+                    f"merge-into: --update expects column=expression, got {item!r}"
+                )
+            upd[col.strip()] = expr.strip()
+    t = LakeTable(_session(args), args.path)
+    src = t.spark.read.parquet(args.source)
+    before = t.current_version()
+    m = t.merge_into(
+        src,
+        when_matched_update=upd,
+        update_condition=args.update_when,
+        when_matched_delete=args.delete_when if args.delete_when else False,
+        when_not_matched_insert=args.insert,
+        retry_recompute=args.retry_recompute,
+    )
+    if m["version"] == before:
+        print(json.dumps({"noop": True}))
+    else:
+        print(json.dumps({
+            "version": m["version"],
+            "source_keys": m["summary"]["source_keys"],
+            "rewritten_buckets": m["summary"]["rewritten_buckets"],
+            "tombstones": m["summary"]["tombstones"],
+        }))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     """Lake-table maintenance: compaction, small-file bin-packing,
     snapshot expiry, orphan cleanup — the operational companion of the
@@ -1367,6 +1412,28 @@ def build_parser() -> argparse.ArgumentParser:
                     help="repeatable; expression sees the matching row")
     up.add_argument("--retry-recompute", type=int, default=2)
     up.set_defaults(fn=cmd_update)
+
+    mi = sub.add_parser("merge-into", help="generic clause-driven MERGE of "
+                                           "a parquet source into a lake "
+                                           "table (Iceberg/Delta MERGE INTO)")
+    mi.add_argument("--path", required=True, help="target lake table")
+    mi.add_argument("--source", required=True, metavar="PARQUET_PATH")
+    mi.add_argument("--update", action="append", default=[],
+                    metavar="COLUMN=SQL_EXPRESSION",
+                    help="matched-update assignment over t/s aliases "
+                         "(repeatable)")
+    mi.add_argument("--update-source", action="store_true",
+                    help="matched rows take the source row wholesale")
+    mi.add_argument("--update-when", default=None, metavar="SQL_PREDICATE",
+                    help="extra gate on the update clause (t/s aliases)")
+    mi.add_argument("--delete-when", default=None, metavar="SQL_PREDICATE",
+                    help="matched rows where this holds are deleted "
+                         "(guarding tombstones retained)")
+    mi.add_argument("--insert", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="insert unmatched source rows (--no-insert drops)")
+    mi.add_argument("--retry-recompute", type=int, default=2)
+    mi.set_defaults(fn=cmd_merge_into)
 
     rep = sub.add_parser(
         "replicate",

@@ -158,6 +158,43 @@ def test_merge_into_delete_leaves_guarding_tombstone(spark, scratch):
     assert _rows(t) == {1: (200, "fresh")}
 
 
+def test_cli_merge_into(spark, scratch, capsys):
+    import json
+
+    from sqoop_spark.cli import main as cli_main
+
+    t, schema = _seq_table(spark, scratch, "mcli")
+    t.append(spark.createDataFrame(
+        [(k, k, f"v{k}") for k in range(6)], schema
+    ))
+    src_path = os.path.join(scratch, "src.parquet")
+    spark.createDataFrame(
+        [(0, 99, "DEL"), (1, 99, "u1"), (50, 99, "new")], schema
+    ).write.parquet(src_path)
+
+    rc = cli_main([
+        "merge-into", "--path", t.path, "--source", src_path,
+        "--update", "v=s.v || '!'",
+        "--delete-when", "s.v = 'DEL'",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["source_keys"] == 3
+    t2 = LakeTable.load(spark, t.path)
+    rows = _rows(t2)
+    assert 0 not in rows and rows[1] == (1, "u1!") and rows[50] == (99, "new")
+
+    # --no-insert drops unmatched source rows
+    src2 = os.path.join(scratch, "src2.parquet")
+    spark.createDataFrame([(77, 1, "x")], schema).write.parquet(src2)
+    rc = cli_main([
+        "merge-into", "--path", t.path, "--source", src2, "--no-insert",
+        "--update-source",
+    ])
+    assert rc == 0
+    assert 77 not in _rows(LakeTable.load(spark, t.path))
+
+
 def test_merge_into_retry_recomputes(spark, scratch):
     t1, schema = _seq_table(spark, scratch, "m8", buckets=2)
     t1.append(spark.createDataFrame([(1, 1, "a")], schema))
