@@ -1203,7 +1203,10 @@ def cmd_maintain(args) -> int:
             m["summary"] if m["version"] != before else {"noop": True}
         )
     if args.rewrite_small_files is not None:
-        m = t.rewrite_small_files(target_rows=args.rewrite_small_files)
+        # standing-maintenance loop: retry around live ingest like --compact
+        m = t.rewrite_small_files(
+            target_rows=args.rewrite_small_files, retry_recompute=2
+        )
         out["rewrite"] = m.get("summary", {}) if m["operation"] == "rewrite" else {
             "noop": True
         }
@@ -1212,6 +1215,7 @@ def cmd_maintain(args) -> int:
         m = t.rewrite_clustered(
             column=args.cluster_by or None,
             target_rows=args.cluster_file_rows,
+            retry_recompute=2,
         )
         out["cluster"] = (
             m["summary"] if m["version"] != before else {"noop": True}

@@ -985,6 +985,7 @@ class LakeTable:
         min_files: int = 2,
         buckets: Iterable[int] | None = None,
         batch_id: int | None = None,
+        retry_recompute: int = 0,
     ) -> dict:
         """Bin-pack small base files (Iceberg ``rewrite_data_files``).
 
@@ -997,7 +998,24 @@ class LakeTable:
         to :meth:`compact`, and read-time resolution orders by the order
         column, never by file position, so rewriting base files under
         live deltas is safe) is carried forward by reference. A no-op
-        returns the current manifest without committing."""
+        returns the current manifest without committing.
+        ``retry_recompute`` re-runs the pack against the fresh manifest on
+        a lost commit race (the standing-maintenance loop, as
+        :meth:`compact`)."""
+        attempt = 0
+        while True:
+            try:
+                return self._rewrite_small_files_once(
+                    target_rows, min_files, buckets, batch_id
+                )
+            except ConcurrentCommitError:
+                if attempt >= retry_recompute:
+                    raise
+                attempt += 1
+
+    def _rewrite_small_files_once(
+        self, target_rows, min_files, buckets, batch_id
+    ) -> dict:
         base = self.manifest()
         base_by_bucket: dict[int, list[dict]] = {}
         for e in base["files"]:
@@ -1039,6 +1057,7 @@ class LakeTable:
         target_rows: int = 1_000_000,
         buckets: Iterable[int] | None = None,
         batch_id: int | None = None,
+        retry_recompute: int = 0,
     ) -> dict:
         """Cluster each bucket's base files by ``column`` (default: the
         order column) — Iceberg's sort-order rewrite, the maintenance pass
@@ -1066,8 +1085,24 @@ class LakeTable:
 
         Note: size ``rewrite_small_files``'s ``target_rows`` consistently —
         bin-packing a clustered bucket re-merges its files without the
-        sort and undoes the clustering.
+        sort and undoes the clustering. ``retry_recompute`` re-runs the
+        clustering against the fresh manifest on a lost commit race (the
+        standing-maintenance loop, as :meth:`compact`).
         """
+        attempt = 0
+        while True:
+            try:
+                return self._rewrite_clustered_once(
+                    column, target_rows, buckets, batch_id
+                )
+            except ConcurrentCommitError:
+                if attempt >= retry_recompute:
+                    raise
+                attempt += 1
+
+    def _rewrite_clustered_once(
+        self, column, target_rows, buckets, batch_id
+    ) -> dict:
         base = self.manifest()
         col = column or self.order_column
         if col not in self.schema().fieldNames():

@@ -31,10 +31,22 @@ from sqoop_spark.errors import EngineError
 from sqoop_spark.lake import LakeTable
 
 #: Manifest operations that change table CONTENT. Maintenance commits
-#: (compact / rewrite / evolve) reorganize files or metadata without
-#: changing the logical state — their diff is empty by construction, so
-#: tailing skips them rather than paying a join to prove emptiness.
-_CONTENT_OPS = {"append", "delta-append", "merge", "overwrite"}
+#: (compact / rewrite / cluster / rebucket / evolve) reorganize files or
+#: metadata without changing the logical state — their diff is empty by
+#: construction, so tailing skips them rather than paying a join to prove
+#: emptiness. Row-level DML (delete / update / merge-into) and rollback
+#: ARE content: a replica must receive GDPR erasures, manual corrections
+#: and un-done batches as ordinary change rows.
+_CONTENT_OPS = {
+    "append",
+    "delta-append",
+    "merge",
+    "overwrite",
+    "delete",
+    "update",
+    "merge-into",
+    "rollback",
+}
 
 
 def iter_changes(

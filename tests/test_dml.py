@@ -318,6 +318,56 @@ def test_tags_retained_by_expire(spark, scratch):
         t.set_tag("future", v3 + 9)
 
 
+def test_changelog_reports_dml(spark, scratch):
+    """Outbound CDC sees DML: changes_between across delete_where /
+    update_where / rollback commits reports the row-level effect, so
+    downstream replicas receive erasures and corrections as ordinary
+    change rows."""
+    t, schema = _seq_table(spark, scratch, "chg")
+    t.append(spark.createDataFrame(
+        [(k, k, f"v{k}") for k in range(6)], schema
+    ))
+    v0 = t.current_version()
+    t.delete_where("k = 2")
+    t.update_where("k = 3", {"v": "'fixed'"})
+    diff = {(r.k, r._change) for r in t.changes_between(v0).collect()}
+    assert diff == {(2, "delete"), (3, "update")}
+    # rollback undoes both: the diff across the rollback is the inverse
+    v_dml = t.current_version()
+    t.rollback_to(v0)
+    inv = {(r.k, r._change) for r in t.changes_between(v_dml).collect()}
+    assert inv == {(2, "insert"), (3, "update")}
+
+
+def test_gdpr_delete_propagates_to_replica(spark, scratch):
+    """The erasure story end-to-end: a replica consuming the outbound
+    changelog converges to the post-delete state — the deleted keys
+    disappear downstream without a full resync."""
+    from sqoop_spark.cdc import CdcEngine, JobStore
+    from sqoop_spark.streaming import replicate_to_table
+
+    t, schema = _seq_table(spark, scratch, "rep_src")
+    t.append(spark.createDataFrame(
+        [(k, k, f"v{k}") for k in range(8)], schema
+    ))
+    dst = LakeTable.create(
+        spark, os.path.join(scratch, "rep_dst"), schema, ["k"],
+        num_buckets=4, properties={"order_column": "seq"},
+    )
+    replica = CdcEngine(spark, dst, fingerprint=False)
+    store = JobStore(os.path.join(scratch, "jobs"))
+    store.create("rep", {"changelog.replica.version": None})
+    replicate_to_table(t, replica, store, "rep")
+    assert set(_rows(dst)) == set(range(8))
+
+    t.delete_where("k in (1, 5)")
+    t.update_where("k = 6", {"v": "'redacted'"})
+    replicate_to_table(t, replica, store, "rep")
+    rows = _rows(dst)
+    assert set(rows) == {0, 2, 3, 4, 6, 7}
+    assert rows[6] == (6, "redacted")
+
+
 # -- CLI ----------------------------------------------------------------------
 
 
