@@ -143,3 +143,94 @@ def test_engine_replay_matches_model(spark, tmp_path_factory, events, strategy):
         for r in eng.table.read().collect()
     }
     assert got == _model_final(events), strategy
+
+
+DATA_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("event_seq", T.LongType()),
+    ]
+)
+
+
+def _base_table(spark, tmp_path_factory, events):
+    """A lake table holding the replay model's final state."""
+    from sqoop_spark.lake import LakeTable
+
+    d = str(tmp_path_factory.mktemp("prop_dml"))
+    t = LakeTable.create(
+        spark, os.path.join(d, "t"), DATA_SCHEMA, ["repo", "path"],
+        num_buckets=4, properties={"order_column": "event_seq"},
+    )
+    base = _model_final(events)
+    if base:
+        t.append(spark.createDataFrame(
+            [(r, p, v, s) for (r, p), (v, s) in base.items()], DATA_SCHEMA
+        ))
+    return t, base
+
+
+def _table_state(t):
+    return {
+        (r.repo, r.path): (r.payload, r.event_seq) for r in t.read().collect()
+    }
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=STREAM, c=st.sampled_from("xyz"))
+def test_dml_matches_model(spark, tmp_path_factory, events, c):
+    """delete_where/update_where equal the dict model for arbitrary final
+    states: DELETE removes exactly the predicate-true keys, UPDATE rewrites
+    exactly the predicate-true keys, empty matches are no-ops."""
+    t, base = _base_table(spark, tmp_path_factory, events)
+
+    t.delete_where(f"payload LIKE '%{c}%'")
+    model = {k: v for k, v in base.items() if c not in v[0]}
+    assert _table_state(t) == model
+
+    t.update_where("payload = ''", {"payload": "'E'"})
+    model = {k: (("E", s) if v == "" else (v, s)) for k, (v, s) in model.items()}
+    assert _table_state(t) == model
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=STREAM, src_events=STREAM)
+def test_merge_into_matches_model(spark, tmp_path_factory, events, src_events):
+    """merge_into equals the clause model for arbitrary target states and
+    arbitrary reduced sources: matched+delete-op removes, matched+longer
+    payload updates (gated clause), matched otherwise carries, unmatched
+    inserts — including empty target, empty source, all-delete sources."""
+    t, base = _base_table(spark, tmp_path_factory, events)
+    n = len(events)
+    winners = {}
+    for seq, (k, op, payload) in enumerate(src_events):
+        winners[KEYS[k]] = (op, payload, seq + n)
+    src_schema = T.StructType(
+        DATA_SCHEMA.fields + [T.StructField("op", T.StringType())]
+    )
+    src = spark.createDataFrame(
+        [(r, p, v, s, op) for (r, p), (op, v, s) in winners.items()], src_schema
+    )
+    t.merge_into(
+        src,
+        when_matched_delete="s.op = 'delete'",
+        when_matched_update={
+            "payload": "s.payload", "event_seq": "s.event_seq"
+        },
+        update_condition="length(s.payload) >= length(t.payload)",
+        when_not_matched_insert={
+            "payload": "s.payload", "event_seq": "s.event_seq"
+        },
+    )
+    model = dict(base)
+    for key, (op, payload, seq) in winners.items():
+        if key in base:
+            if op == "delete":
+                model.pop(key)
+            elif len(payload) >= len(base[key][0]):
+                model[key] = (payload, seq)
+        else:
+            model[key] = (payload, seq)
+    assert _table_state(t) == model
