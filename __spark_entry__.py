@@ -937,6 +937,50 @@ def q_merge_into_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(t.read(), tmp)
 
 
+def q_wap_publish_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (``LakeTable.stage``/``audit_staged``/
+    ``publish_staged`` — Iceberg's wap.id / cherry-pick flow) under the
+    full value hash: a delta batch derived from the cloned staged replay
+    (every ``java`` row upserted with rewritten content + sha and a
+    bumped event_seq; every ``js`` row deleted) is STAGED as an invisible
+    commit, the built-in audit validates the would-be state (row floor,
+    sha non-null, key uniqueness), and only then does the metadata-only
+    publish make it visible. The final state must equal newest-wins with
+    the batch applied — and the pre-publish state must equal newest-wins
+    WITHOUT it (asserted in-query: staging leaks nothing)."""
+    from sqoop_spark.lake import LakeTable
+
+    src_t, _j = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_wap_")
+    dst = f"{tmp}/repos"
+    shutil.copytree(src_t.path, dst)
+    t = LakeTable.load(spark, dst)
+    st = t.read()
+    bump = F.col("event_seq") + F.lit(1_000_000_000)
+    ups = (
+        st.filter(F.col("lang") == "java")
+        .withColumn("content", F.concat(F.lit("WAP:"), F.col("path")))
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+        .withColumn("event_seq", bump)
+        .withColumn("op", F.lit("upsert"))
+    )
+    dels = (
+        st.filter(F.col("lang") == "js")
+        .withColumn("event_seq", bump)
+        .withColumn("op", F.lit("delete"))
+    )
+    before = t.current_version()
+    t.stage(ups.unionByName(dels), "audit-gate", mode="delta",
+            batch_id=987_654_321)
+    assert t.current_version() == before, "stage must be invisible"
+    rep = t.audit_staged("audit-gate", not_null=["content_sha"], min_rows=1)
+    assert rep["ok"], f"audit must pass: {rep['failures']}"
+    m = t.publish_staged("audit-gate")
+    assert m["summary"]["wap_id"] == "audit-gate"
+    assert 987_654_321 in t.fenced_batch_ids(), "publish fences the batch"
+    return _materialize_and_clean(t.read(), tmp)
+
+
 def q_incremental_read_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-order rewrite (``rewrite_clustered`` — Iceberg's sort-order
     rewrite) proven through the incremental read it exists for: on a
@@ -1198,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_where_replay": q_update_where_replay,
         "rollback_replay": q_rollback_replay,
         "merge_into_replay": q_merge_into_replay,
+        "wap_publish_replay": q_wap_publish_replay,
         "incremental_read_clustered": q_incremental_read_clustered,
         "time_travel": q_time_travel,
         "snapshot_history": q_snapshot_history,
@@ -1854,6 +1899,23 @@ SELECT repo, path || '#new' AS path, commit, lang,
        sha256('NEW:' || path || '#new') AS content_sha,
        event_seq, event_ts
 FROM st WHERE lang = 'rust'
+""",
+        "wap_publish_replay": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+  FROM ce
+),
+st AS (SELECT {TABLE_COLS} FROM ranked WHERE rn = 1 AND op <> 'delete')
+SELECT repo, path, commit, lang,
+       CASE WHEN lang = 'java' THEN 'WAP:' || path ELSE content END AS content,
+       CASE WHEN lang = 'java' THEN sha256('WAP:' || path)
+            ELSE content_sha END AS content_sha,
+       CASE WHEN lang = 'java' THEN event_seq + 1000000000
+            ELSE event_seq END AS event_seq,
+       event_ts
+FROM st WHERE NOT coalesce(lang = 'js', false)
 """,
         "incremental_read_clustered": f"""
 WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),

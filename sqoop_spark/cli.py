@@ -1170,6 +1170,62 @@ def cmd_merge_into(args) -> int:
     return 0
 
 
+def cmd_wap(args) -> int:
+    """Write-audit-publish flow over a lake table (Iceberg's wap.id /
+    cherrypick): ``stage`` writes a parquet batch as an invisible staged
+    commit, ``audit`` validates the would-be state against expectations,
+    ``publish`` makes it visible (batch fence fires here), ``abort``
+    discards it, ``list`` shows pending stages."""
+    from sqoop_spark.lake import LakeTable
+
+    if not LakeTable.exists(args.path):
+        raise SystemExit(f"wap: no lake table at {args.path}")
+    needs_spark = args.action in ("stage", "audit")
+    t = LakeTable(_session(args) if needs_spark else None, args.path)
+    if args.action == "list":
+        print(json.dumps([
+            {k: st[k] for k in ("wap_id", "operation", "batch_id",
+                                "base_version")}
+            for st in t.staged()
+        ]))
+        return 0
+    if args.action == "stage":
+        if not args.source or not args.wap_id:
+            raise SystemExit("wap stage: --source and --wap-id are required")
+        df = t.spark.read.parquet(args.source)
+        st = t.stage(
+            df, args.wap_id, mode=args.mode, batch_id=args.batch_id,
+            op_col=args.op_col,
+        )
+        print(json.dumps({
+            "wap_id": st["wap_id"], "operation": st["operation"],
+            "files": len(st["entries"]),
+            "rows": sum(e["rows"] for e in st["entries"]),
+            "base_version": st["base_version"],
+        }))
+        return 0
+    if not args.wap_id:
+        raise SystemExit(f"wap {args.action}: --wap-id is required")
+    if args.action == "audit":
+        nn = [c.strip() for c in (args.not_null or "").split(",") if c.strip()]
+        rep = t.audit_staged(
+            args.wap_id, min_rows=args.min_rows, max_rows=args.max_rows,
+            not_null=nn, unique_key=args.unique_key,
+        )
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
+    if args.action == "publish":
+        m = t.publish_staged(args.wap_id, retry_conflicts=args.retry_conflicts)
+        print(json.dumps({"version": m["version"],
+                          "operation": m["operation"],
+                          "batch_id": m["summary"].get("batch_id")}))
+        return 0
+    if args.action == "abort":
+        print(json.dumps(t.abort_staged(args.wap_id)))
+        return 0
+    raise SystemExit(f"wap: unknown action {args.action!r}")
+
+
 def cmd_maintain(args) -> int:
     """Lake-table maintenance: compaction, small-file bin-packing,
     snapshot expiry, orphan cleanup — the operational companion of the
@@ -1438,6 +1494,36 @@ def build_parser() -> argparse.ArgumentParser:
                     help="insert unmatched source rows (--no-insert drops)")
     mi.add_argument("--retry-recompute", type=int, default=2)
     mi.set_defaults(fn=cmd_merge_into)
+
+    wp = sub.add_parser("wap", help="write-audit-publish: stage a batch as "
+                                    "an invisible commit, audit the "
+                                    "would-be state, then publish or abort")
+    wp.add_argument("action",
+                    choices=["stage", "list", "audit", "publish", "abort"])
+    wp.add_argument("--path", required=True, help="lake table")
+    wp.add_argument("--wap-id", help="staged-commit id (Iceberg wap.id)")
+    wp.add_argument("--source", metavar="PARQUET_PATH",
+                    help="batch to stage (stage action)")
+    wp.add_argument("--mode", choices=["append", "delta"], default="append",
+                    help="append rows, or delta upsert/delete rows "
+                         "(op column)")
+    wp.add_argument("--op-col", default="op",
+                    help="delta mode: column holding upsert/delete")
+    wp.add_argument("--batch-id", type=int, default=None,
+                    help="exactly-once fence id (enforced at publish)")
+    wp.add_argument("--min-rows", type=int, default=None,
+                    help="audit: fail when would-be state has fewer rows")
+    wp.add_argument("--max-rows", type=int, default=None,
+                    help="audit: fail when would-be state has more rows")
+    wp.add_argument("--not-null", metavar="COL,COL",
+                    help="audit: fail on NULLs in these columns")
+    wp.add_argument("--unique-key", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="audit: fail on duplicate key tuples")
+    wp.add_argument("--retry-conflicts", type=int, default=2,
+                    help="publish: rebase onto concurrent commits this "
+                         "many times")
+    wp.set_defaults(fn=cmd_wap)
 
     rep = sub.add_parser(
         "replicate",

@@ -52,6 +52,7 @@ from sqoop_spark.errors import (
 
 FORMAT_VERSION = 1
 _BUCKET_DIR_RE = re.compile(r"_bucket=(\d+)")
+_WAP_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
 
 
 def _json_stat(v):
@@ -489,7 +490,15 @@ class LakeTable:
         key-resolution; every other bucket — including tombstone-only ones
         — scans its base files plain. The per-bucket unit of
         changes_between and the body of read/read_buckets."""
-        entries = self._entries(version, buckets=buckets)
+        return self._state_of_entries(self._entries(version, buckets=buckets), version)
+
+    def _state_of_entries(
+        self, entries: list[dict], version: int | None = None
+    ) -> DataFrame:
+        """Logical state of an explicit file-entry list (the body of
+        :meth:`_read_state`, also used by :meth:`read_staged` to read a
+        snapshot that is not committed yet: current entries + staged
+        entries)."""
         rb = self._resolve_buckets(entries)
         plain = [
             e
@@ -1919,6 +1928,239 @@ class LakeTable:
             return refs[ref]
         raise EngineError(f"resolve_ref: no tag {ref!r}")
 
+    # -- write-audit-publish -------------------------------------------------------
+    # Iceberg's WAP flow (spark.wap.id / cherrypick_snapshot): an ingest
+    # job writes its batch as a STAGED commit no reader can see, an audit
+    # job validates the would-be table state, and only then does a
+    # metadata-only publish make it visible. The staged manifest lives
+    # OUTSIDE the version namespace (manifests/staged/<wap_id>.json), so
+    # `current_version` — max committed version file — never observes it;
+    # publish re-uses the append-shaped optimistic rebase, so commits that
+    # landed between stage and publish are carried, and the exactly-once
+    # batch fence is enforced at publish time (the visibility point).
+
+    @property
+    def _staged_dir(self) -> str:
+        return os.path.join(self.manifest_dir, "staged")
+
+    def _staged_path(self, wap_id: str) -> str:
+        return os.path.join(self._staged_dir, f"{wap_id}.json")
+
+    def staged_manifest(self, wap_id: str) -> dict:
+        try:
+            with open(self._staged_path(wap_id)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise EngineError(f"no staged commit with wap id {wap_id!r}") from None
+
+    def staged(self) -> list[dict]:
+        """Staged (unpublished) commits, oldest-staged first."""
+        if not os.path.isdir(self._staged_dir):
+            return []
+        out = []
+        for fn in sorted(os.listdir(self._staged_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self._staged_dir, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def stage(
+        self,
+        df: DataFrame,
+        wap_id: str,
+        *,
+        mode: str = "append",
+        batch_id: int | None = None,
+        op_col: str = "op",
+        summary: dict | None = None,
+        lineage: dict | None = None,
+    ) -> dict:
+        """Write a batch as a STAGED commit (write-audit-publish stage 1).
+
+        The data files are written exactly as :meth:`append` (``mode=
+        "append"``) or :meth:`append_delta` (``mode="delta"``, upsert/
+        delete rows under ``op_col``) would write them, but the manifest
+        goes to the staged namespace: no reader, incremental consumer or
+        changelog sees the batch until :meth:`publish_staged`. Audit the
+        would-be state with :meth:`read_staged` / :meth:`audit_staged`;
+        discard with :meth:`abort_staged`.
+
+        The batch fence is checked here early (fail fast on a duplicate)
+        but enforced authoritatively at publish — staging itself fences
+        nothing, so a crashed audit job leaves the batch re-stageable.
+        Staged entries carry the column-id mapping of the schema they were
+        written under, so a schema evolution committed between stage and
+        publish reconciles at read exactly like any old snapshot's files.
+        """
+        if not _WAP_ID_RE.match(wap_id or ""):
+            raise EngineError(
+                f"wap id {wap_id!r} invalid (want [A-Za-z0-9][A-Za-z0-9._-]*)"
+            )
+        if mode not in ("append", "delta"):
+            raise EngineError(f"stage: mode must be append|delta, got {mode!r}")
+        if batch_id is not None and batch_id in self.fenced_batch_ids():
+            raise EngineError(f"batch {batch_id} is already fenced (exactly-once)")
+        nb = self.num_buckets  # the numbering _prepare_df buckets under
+        base_version = self.manifest()["version"]
+        if mode == "append":
+            entries = self._write_data_files(self._prepare_df(df))
+            operation = "append"
+        else:
+            if op_col not in df.columns:
+                df = df.withColumn(op_col, F.lit("upsert"))
+            prepared = self._prepare_df(
+                df.withColumn("_op", F.col(op_col)), extra_cols=("_op",)
+            )
+            entries = self._write_data_files(prepared, delta=True)
+            operation = "delta-append"
+        st = {
+            "format_version": FORMAT_VERSION,
+            "wap_id": wap_id,
+            "operation": operation,
+            "entries": entries,
+            "batch_id": batch_id,
+            "num_buckets": nb,
+            "base_version": base_version,
+            "summary": summary,
+            "lineage": lineage,
+        }
+        os.makedirs(self._staged_dir, exist_ok=True)
+        target = self._staged_path(wap_id)
+        tmp = target + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f, indent=1)
+        try:
+            os.link(tmp, target)  # exclusive: double-stage of a wap id errors
+        except FileExistsError:
+            self._reclaim_entry_dirs(entries)  # our files are orphans — now
+            raise EngineError(
+                f"wap id {wap_id!r} is already staged (abort or publish it first)"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return st
+
+    def read_staged(self, wap_id: str) -> DataFrame:
+        """The logical table state AS IF the staged commit were published
+        now: current entries plus the staged entries, MoR-resolved at
+        bucket granularity like any read. This is the audit surface —
+        validate THIS frame, then publish or abort."""
+        st = self.staged_manifest(wap_id)
+        return self._state_of_entries(self._entries() + st["entries"])
+
+    def audit_staged(
+        self,
+        wap_id: str,
+        *,
+        min_rows: int | None = None,
+        max_rows: int | None = None,
+        not_null: Iterable[str] = (),
+        unique_key: bool = True,
+    ) -> dict:
+        """Built-in audit over :meth:`read_staged`: ONE aggregate pass
+        computes row count, distinct-key count and per-column null counts;
+        expectations that fail land in ``failures`` (``ok`` False). A
+        delta-mode stage is audited post-resolution (what would publish),
+        so the duplicate-key check is really for append-mode stages into
+        keyed tables — MoR upsert duplicates resolve away by design."""
+        df = self.read_staged(wap_id)
+        nn = [c for c in not_null]
+        schema_cols = set(df.columns)
+        bad = [c for c in nn if c not in schema_cols]
+        if bad:
+            raise EngineError(f"audit_staged: no column(s) {bad} in table schema")
+        aggs = [
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct(F.struct(*self.key_columns)).alias("dk"),
+        ]
+        for c in nn:
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}"))
+        row = df.agg(*aggs).collect()[0]  # bounded scalar probe
+        rows, dk = row["rows"], row["dk"]
+        null_counts = {c: int(row[f"n_{c}"]) for c in nn}
+        failures = []
+        if min_rows is not None and rows < min_rows:
+            failures.append(f"rows {rows} < min_rows {min_rows}")
+        if max_rows is not None and rows > max_rows:
+            failures.append(f"rows {rows} > max_rows {max_rows}")
+        if unique_key and rows != dk:
+            failures.append(
+                f"duplicate keys: {rows - dk} extra rows over "
+                f"{dk} distinct {tuple(self.key_columns)}"
+            )
+        for c, n in null_counts.items():
+            if n > 0:
+                failures.append(f"{n} NULL values in {c}")
+        return {
+            "wap_id": wap_id,
+            "rows": int(rows),
+            "duplicate_keys": int(rows - dk),
+            "null_counts": null_counts,
+            "failures": failures,
+            "ok": not failures,
+        }
+
+    def publish_staged(self, wap_id: str, retry_conflicts: int = 0) -> dict:
+        """Make a staged commit visible (write-audit-publish stage 3).
+
+        Metadata-only: the data files were written at stage time; publish
+        attaches the staged entries to the CURRENT manifest via the same
+        optimistic append-shaped rebase as multi-writer :meth:`append`
+        (commits landed since stage are carried; a rebucket in between
+        surfaces ConcurrentCommitError — the staged files' bucket ids are
+        stale). The exactly-once batch fence fires HERE — publish is the
+        visibility point. Crash-resume safe: if a previous publish of this
+        wap id committed but crashed before removing the staged manifest,
+        re-publish finds the committed snapshot (``summary.wap_id``) and
+        just cleans up instead of double-appending."""
+        st = self.staged_manifest(wap_id)
+        current = self.current_version() or 0
+        for v in range(current, (st["base_version"] or 1) - 1, -1):
+            if not self.manifest_exists(v):
+                break  # older manifests may be expired — staged base is the floor
+            if (self.manifest(v).get("summary") or {}).get("wap_id") == wap_id:
+                os.unlink(self._staged_path(wap_id))  # already published; clean up
+                return self.manifest(v)
+        summary = {
+            **(st.get("summary") or {}),
+            "wap_id": wap_id,
+            "staged_base_version": st["base_version"],
+        }
+        m = self._commit_append_shaped(
+            st["operation"],
+            st["entries"],
+            st["batch_id"],
+            summary,
+            st["lineage"],
+            retry_conflicts,
+            st["num_buckets"],
+        )
+        os.unlink(self._staged_path(wap_id))
+        return m
+
+    def _reclaim_entry_dirs(self, entries: list[dict]) -> int:
+        """Remove the per-write uuid directories holding ``entries``
+        (every :meth:`_write_data_files` call writes into a fresh
+        ``data/<uuid>`` dir, so nothing else can reference them) —
+        including the writer's ``_SUCCESS``/``.crc`` droppings."""
+        import shutil as _sh
+
+        removed = 0
+        for e in entries:
+            removed += 1 if os.path.exists(os.path.join(self.path, e["path"])) else 0
+        for rel in {os.path.join(*e["path"].split(os.sep)[:2]) for e in entries}:
+            _sh.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+        return removed
+
+    def abort_staged(self, wap_id: str) -> dict:
+        """Discard a staged commit: delete its data files (referenced by
+        no committed manifest — safe) and its staged manifest. The table
+        is untouched; the wap id and batch id are both reusable."""
+        st = self.staged_manifest(wap_id)
+        removed = self._reclaim_entry_dirs(st["entries"])
+        os.unlink(self._staged_path(wap_id))
+        return {"wap_id": wap_id, "removed_files": removed}
+
     # -- maintenance ---------------------------------------------------------------
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
@@ -1987,6 +2229,10 @@ class LakeTable:
             mpath = os.path.join(self.manifest_dir, f"v{v:08d}.json")
             if v in self._manifest_cache or os.path.exists(mpath):
                 referenced.update(e["path"] for e in self.manifest(v)["files"])
+        # Staged (write-audit-publish) commits reference their files from
+        # OUTSIDE the version namespace — unpublished, but not orphans.
+        for st in self.staged():
+            referenced.update(e["path"] for e in st["entries"])
         now = _t.time()
         removed = 0
         for root, _dirs, files in os.walk(self.data_dir):
