@@ -981,6 +981,24 @@ def q_wap_publish_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(t.read(), tmp)
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup (``LakeTable.lookup`` — the GDPR subject-access /
+    upsert-verification read): the lexicographically-first key of the
+    staged replay state is fetched through the two-stage prune — the key
+    hashes to ONE of the 16 buckets (Iceberg bucket-transform partition
+    prune), then per-file key zone maps skip non-matching files within
+    it. Asserted in-query: the lookup opens strictly fewer files than
+    the table holds. The returned row must value-hash against DuckDB's
+    newest-wins state joined to the same min-key."""
+    t, _j = _staged_replay(spark, sf_dir)
+    k = t.read().select("repo", "path").orderBy("repo", "path").limit(1).collect()[0]
+    df = t.lookup({"repo": k.repo, "path": k.path})
+    assert len(df.inputFiles()) < len(t.manifest()["files"]), (
+        "lookup must open a strict subset of the table's files"
+    )
+    return df
+
+
 def q_incremental_read_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-order rewrite (``rewrite_clustered`` — Iceberg's sort-order
     rewrite) proven through the incremental read it exists for: on a
@@ -1243,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollback_replay": q_rollback_replay,
         "merge_into_replay": q_merge_into_replay,
         "wap_publish_replay": q_wap_publish_replay,
+        "point_lookup": q_point_lookup,
         "incremental_read_clustered": q_incremental_read_clustered,
         "time_travel": q_time_travel,
         "snapshot_history": q_snapshot_history,
@@ -1916,6 +1935,17 @@ SELECT repo, path, commit, lang,
             ELSE event_seq END AS event_seq,
        event_ts
 FROM st WHERE NOT coalesce(lang = 'js', false)
+""",
+        "point_lookup": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+  FROM ce
+),
+st AS (SELECT {TABLE_COLS} FROM ranked WHERE rn = 1 AND op <> 'delete'),
+k AS (SELECT repo, path FROM st ORDER BY repo, path LIMIT 1)
+SELECT st.* FROM st JOIN k USING (repo, path)
 """,
         "incremental_read_clustered": f"""
 WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),

@@ -1170,6 +1170,29 @@ def cmd_merge_into(args) -> int:
     return 0
 
 
+def cmd_lookup(args) -> int:
+    """Point lookup of one key: bucket prune + key zone-map file skip,
+    then the normal MoR-resolved read filtered to the key. Prints the
+    matching rows as JSON lines (the GDPR subject-access / upsert
+    verification path — O(1 bucket, few files), never a table scan)."""
+    from sqoop_spark.lake import LakeTable
+
+    if not LakeTable.exists(args.path):
+        raise SystemExit(f"lookup: no lake table at {args.path}")
+    key = {}
+    for item in args.key:
+        col, eq, val = item.partition("=")
+        if not eq or not col.strip():
+            raise SystemExit(f"lookup: --key expects column=value, got {item!r}")
+        key[col.strip()] = val
+    t = LakeTable(_session(args), args.path)
+    rows = t.lookup(key, version=args.version).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(json.dumps({"matched": len(rows)}), file=sys.stderr)
+    return 0
+
+
 def cmd_wap(args) -> int:
     """Write-audit-publish flow over a lake table (Iceberg's wap.id /
     cherrypick): ``stage`` writes a parquet batch as an invisible staged
@@ -1494,6 +1517,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="insert unmatched source rows (--no-insert drops)")
     mi.add_argument("--retry-recompute", type=int, default=2)
     mi.set_defaults(fn=cmd_merge_into)
+
+    lk = sub.add_parser("lookup", help="point lookup of one key: bucket "
+                                       "prune + key zone-map file skip, "
+                                       "rows printed as JSON lines")
+    lk.add_argument("--path", required=True, help="lake table")
+    lk.add_argument("--key", action="append", required=True,
+                    metavar="COLUMN=VALUE",
+                    help="one per key column (values cast to the key type)")
+    lk.add_argument("--version", type=int, default=None,
+                    help="time-travel: look up in this snapshot")
+    lk.set_defaults(fn=cmd_lookup)
 
     wp = sub.add_parser("wap", help="write-audit-publish: stage a batch as "
                                     "an invisible commit, audit the "

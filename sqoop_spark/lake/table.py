@@ -483,6 +483,67 @@ class LakeTable:
             )
         return out
 
+    def bucket_of(self, key: dict) -> int:
+        """The bucket a full key tuple hashes to, computed with the SAME
+        expression the writer buckets rows under (pmod(xxhash64(cast
+        keys), B)) — a one-row probe job, no table scan."""
+        schema = self.schema()
+        fields = [schema[c] for c in self.key_columns]
+        probe = self.spark.createDataFrame(
+            [tuple(str(key[c]) for c in self.key_columns)],
+            T.StructType([T.StructField(f.name, T.StringType()) for f in fields]),
+        ).select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
+        )
+        return probe.select(self.bucket_expr().alias("b")).collect()[0][0]
+
+    def lookup(self, key: dict, version: int | None = None) -> DataFrame:
+        """Point read of one key: rows of the logical state whose key
+        columns equal ``key`` — O(1 bucket, few files), never O(table).
+
+        Two prunes before any data IO: the key hashes to exactly ONE
+        bucket (the Iceberg bucket-transform partition prune), and within
+        it the per-file key zone maps recorded at write time skip files
+        whose ``[min, max]`` cannot contain the value (conjunctive over
+        every key column; fail-open where a stat is absent — e.g. files
+        written before key stats existed). The surviving entries resolve
+        through the normal MoR machinery, which stays correct under
+        pruning: a pruned delta file's bounds exclude the key, so it
+        cannot hold an upsert or delete for it. At 100 TB this is the
+        GDPR subject-access / upsert-verification path: one hash, a few
+        footer-bounded files, one filter."""
+        from sqoop_spark.cdc.watermark import typed_lit
+
+        if set(key) != set(self.key_columns):
+            raise EngineError(
+                f"lookup: need exactly the key columns {self.key_columns}, "
+                f"got {sorted(key)}"
+            )
+        if any(v is None for v in key.values()):
+            raise EngineError("lookup: NULL key values never match (keys are non-null)")
+        schema = self.schema(version)
+        bucket = self.bucket_of(key)
+        entries = self._entries(version, buckets={bucket})
+
+        def keep(e: dict) -> bool:
+            for c, v in key.items():
+                st = (e.get("stats") or {}).get(c)
+                if not st:
+                    continue  # fail-open
+                jv = _json_stat(v)
+                if jv is None:
+                    continue
+                mn, mx = st
+                if jv < mn or jv > mx:
+                    return False
+            return True
+
+        pruned = [e for e in entries if keep(e)]
+        pred = F.lit(True)
+        for c, v in key.items():
+            pred = pred & (F.col(c) == typed_lit(v, schema[c].dataType))
+        return self._state_of_entries(pruned, version).filter(pred)
+
     def _read_state(self, version: int | None, buckets: set[int] | None) -> DataFrame:
         """Logical state of ``version`` restricted to ``buckets`` (all when
         None), MoR deltas resolved at BUCKET granularity: only buckets in
@@ -693,6 +754,13 @@ class LakeTable:
 
         wanted_stats = list(self.stats_columns())
         for c in extra_stats_cols or []:
+            if c not in wanted_stats:
+                wanted_stats.append(c)
+        # Key columns always get zone maps: base files are key-sorted
+        # within buckets (the default sort_within), so their key bounds
+        # are tight — that is what lets :meth:`lookup` open O(1) files
+        # instead of the whole bucket. Same footer pass, zero extra IO.
+        for c in self.key_columns:
             if c not in wanted_stats:
                 wanted_stats.append(c)
         stat_cols = [c for c in wanted_stats if c in id_by_name]
