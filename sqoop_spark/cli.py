@@ -1170,6 +1170,19 @@ def cmd_merge_into(args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    """Table-health summary from metadata alone (no Spark session):
+    layout, rows/files/bytes split base vs delta vs tombstone,
+    compaction backlog, zone-map coverage, fences/tags/staged commits."""
+    from sqoop_spark.lake import LakeTable
+
+    if not LakeTable.exists(args.path):
+        raise SystemExit(f"describe: no lake table at {args.path}")
+    t = LakeTable(None, args.path)
+    print(json.dumps(t.describe(version=args.version), indent=2))
+    return 0
+
+
 def cmd_lookup(args) -> int:
     """Point lookup of one key: bucket prune + key zone-map file skip,
     then the normal MoR-resolved read filtered to the key. Prints the
@@ -1517,6 +1530,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="insert unmatched source rows (--no-insert drops)")
     mi.add_argument("--retry-recompute", type=int, default=2)
     mi.set_defaults(fn=cmd_merge_into)
+
+    dsc = sub.add_parser("describe", help="table-health summary from "
+                                          "metadata alone (rows, files, "
+                                          "backlog, zone-map coverage)")
+    dsc.add_argument("--path", required=True, help="lake table")
+    dsc.add_argument("--version", type=int, default=None,
+                     help="describe this snapshot instead of current")
+    dsc.set_defaults(fn=cmd_describe)
 
     lk = sub.add_parser("lookup", help="point lookup of one key: bucket "
                                        "prune + key zone-map file skip, "

@@ -680,6 +680,72 @@ class LakeTable:
     def total_rows(self, version: int | None = None) -> int:
         return sum(e["rows"] for e in self.manifest(version)["files"])
 
+    def describe(self, version: int | None = None) -> dict:
+        """Table-health summary from metadata alone — no Spark session,
+        no data IO beyond ``stat()`` for byte sizes. The operational
+        dashboard row: layout, row/file/byte counts split base vs delta
+        vs tombstone, per-bucket compaction backlog, zone-map coverage
+        per stats column (what :meth:`read_since`/:meth:`lookup` can
+        prune on), fence/tag/staged-commit state, retained snapshots."""
+        m = self.manifest(version)
+        entries = m["files"]
+        base = [e for e in entries if not e.get("delta")]
+        deltas = [e for e in entries if e.get("delta") and not e.get("tombstone")]
+        tombs = [e for e in entries if e.get("tombstone")]
+        backlog = {}
+        for e in deltas:
+            backlog[e["bucket"]] = backlog.get(e["bucket"], 0) + 1
+        total_bytes = 0
+        for e in entries:
+            try:
+                total_bytes += os.path.getsize(os.path.join(self.path, e["path"]))
+            except OSError:
+                pass  # concurrent maintenance
+        wanted = list(dict.fromkeys(
+            [*self.stats_columns(), *m["key_columns"]]
+        ))
+        coverage = {
+            c: (
+                round(
+                    sum(1 for e in entries if c in (e.get("stats") or {}))
+                    / len(entries),
+                    3,
+                )
+                if entries
+                else None
+            )
+            for c in wanted
+        }
+        retained = sum(
+            1
+            for v in range(1, (self.current_version() or 0) + 1)
+            if self.manifest_exists(v)
+        )
+        return {
+            "path": self.path,
+            "version": m["version"],
+            "operation": m["operation"],
+            "num_buckets": m["num_buckets"],
+            "key_columns": m["key_columns"],
+            "order_column": self.order_column,
+            "schema_fields": len(m["schema"]["fields"]),
+            "rows": sum(e["rows"] for e in entries),
+            "files": {
+                "base": len(base),
+                "delta": len(deltas),
+                "tombstone": len(tombs),
+                "total": len(entries),
+            },
+            "bytes": total_bytes,
+            "delta_buckets": len(backlog),
+            "max_bucket_delta_files": max(backlog.values(), default=0),
+            "zone_map_coverage": coverage,
+            "fenced_batches": len(m["fenced_batch_ids"]),
+            "tags": self.tags(),
+            "staged_wap_ids": [s["wap_id"] for s in self.staged()],
+            "snapshots_retained": retained,
+        }
+
     def snapshots(self) -> list[SnapshotInfo]:
         out = []
         for v in range(1, (self.current_version() or 0) + 1):
