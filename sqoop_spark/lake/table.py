@@ -2246,30 +2246,48 @@ class LakeTable:
         visibility point. Crash-resume safe: if a previous publish of this
         wap id committed but crashed before removing the staged manifest,
         re-publish finds the committed snapshot (``summary.wap_id``) and
-        just cleans up instead of double-appending."""
+        just cleans up instead of double-appending. The same scan runs
+        before EVERY rebase attempt, not just once: two publishers racing
+        the same wap id otherwise both lose the manifest race to a third
+        writer, rebase, and the loser re-attaches entries the winner
+        already committed — the scan turns that into the idempotent
+        no-op (and when ``batch_id`` is set, the fence catches it too)."""
         st = self.staged_manifest(wap_id)
-        current = self.current_version() or 0
-        for v in range(current, (st["base_version"] or 1) - 1, -1):
-            if not self.manifest_exists(v):
-                break  # older manifests may be expired — staged base is the floor
-            if (self.manifest(v).get("summary") or {}).get("wap_id") == wap_id:
-                os.unlink(self._staged_path(wap_id))  # already published; clean up
-                return self.manifest(v)
         summary = {
             **(st.get("summary") or {}),
             "wap_id": wap_id,
             "staged_base_version": st["base_version"],
         }
-        m = self._commit_append_shaped(
-            st["operation"],
-            st["entries"],
-            st["batch_id"],
-            summary,
-            st["lineage"],
-            retry_conflicts,
-            st["num_buckets"],
-        )
-        os.unlink(self._staged_path(wap_id))
+
+        def already_published() -> dict | None:
+            current = self.current_version() or 0
+            for v in range(current, (st["base_version"] or 1) - 1, -1):
+                if not self.manifest_exists(v):
+                    return None  # older ones may be expired — base is the floor
+                if (self.manifest(v).get("summary") or {}).get("wap_id") == wap_id:
+                    return self.manifest(v)
+            return None
+
+        attempt = 0
+        while True:
+            done = already_published()
+            if done is not None:
+                m = done
+                break
+            try:
+                m = self._commit_append_shaped(
+                    st["operation"], st["entries"], st["batch_id"], summary,
+                    st["lineage"], 0, st["num_buckets"],
+                )
+                break
+            except ConcurrentCommitError:
+                if attempt >= retry_conflicts:
+                    raise
+                attempt += 1
+        try:
+            os.unlink(self._staged_path(wap_id))
+        except FileNotFoundError:
+            pass  # a racing publisher of the same wap id cleaned it up
         return m
 
     def _reclaim_entry_dirs(self, entries: list[dict]) -> int:
@@ -2289,10 +2307,23 @@ class LakeTable:
     def abort_staged(self, wap_id: str) -> dict:
         """Discard a staged commit: delete its data files (referenced by
         no committed manifest — safe) and its staged manifest. The table
-        is untouched; the wap id and batch id are both reusable."""
+        is untouched; the wap id and batch id are both reusable.
+
+        The staged-manifest unlink happens FIRST — it is the claim: a
+        publish that starts after the abort fails cleanly with "no staged
+        commit" instead of committing entries whose files are being
+        deleted. (A publish already in flight when abort runs is an
+        operator-coordination error — publish and abort are the two
+        terminal actions on one wap id; pick one.)"""
         st = self.staged_manifest(wap_id)
+        try:
+            os.unlink(self._staged_path(wap_id))
+        except FileNotFoundError:
+            raise EngineError(
+                f"no staged commit with wap id {wap_id!r} (already "
+                "published or aborted by another operator)"
+            ) from None
         removed = self._reclaim_entry_dirs(st["entries"])
-        os.unlink(self._staged_path(wap_id))
         return {"wap_id": wap_id, "removed_files": removed}
 
     # -- maintenance ---------------------------------------------------------------

@@ -206,6 +206,32 @@ def test_staged_survives_schema_evolution(spark, scratch):
     )
 
 
+def test_publish_idempotent_without_batch_id(spark, scratch):
+    # the racing-publishers shape: no fence to catch a double apply, so
+    # the already-published scan (run before every rebase attempt) is
+    # the only guard
+    t, schema = _seq_table(spark, scratch, "w17")
+    t.stage(_batch(spark, schema, [(100, 100, "x")]), "nofence")
+    staged_path = t._staged_path("nofence")
+    shutil.copy(staged_path, staged_path + ".bak")
+    m1 = t.publish_staged("nofence")
+    os.rename(staged_path + ".bak", staged_path)  # loser's stale view
+    m2 = t.publish_staged("nofence", retry_conflicts=2)
+    assert m2["version"] == m1["version"]
+    rows = [r for r in t.read().collect() if r.k == 100]
+    assert len(rows) == 1, "double publish must not duplicate rows"
+
+
+def test_abort_after_publish_fails_cleanly(spark, scratch):
+    t, schema = _seq_table(spark, scratch, "w18")
+    t.stage(_batch(spark, schema, [(100, 100, "x")]), "term")
+    m = t.publish_staged("term")
+    with pytest.raises(EngineError, match="no staged commit"):
+        t.abort_staged("term")
+    # the published data is intact
+    assert 100 in {r.k for r in t.read(m["version"]).collect()}
+
+
 # -- maintenance interactions -------------------------------------------------
 
 
