@@ -1278,8 +1278,17 @@ def cmd_maintain(args) -> int:
         or args.rewrite_small_files is not None
         or args.rebucket is not None
         or args.cluster_by is not None
+        or args.auto
     )
     t = LakeTable(_session(args) if needs_spark else None, args.path)
+    if args.auto:
+        out["auto"] = t.auto_maintain(
+            max_delta_files=args.auto_delta_files,
+            target_rows=args.auto_target_rows,
+            keep_snapshots=args.expire_snapshots,
+        )
+        print(json.dumps(out))
+        return 0
     if args.compact:
         before = t.current_version()
         # the maintain tool IS the standing external compactor: retry
@@ -1623,6 +1632,18 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--cluster-file-rows", type=int, default=1_000_000,
                     metavar="TARGET_ROWS",
                     help="rows per clustered file (zone-map granularity)")
+    mt.add_argument("--auto", action="store_true",
+                    help="policy-driven pass: compact buckets over the "
+                         "delta backlog threshold, bin-pack fragmented "
+                         "buckets, then --expire-snapshots if given; "
+                         "prints every decision with its reason")
+    mt.add_argument("--auto-delta-files", type=int, default=4,
+                    metavar="N", help="--auto: compact buckets holding "
+                                      "more than N unmerged delta files")
+    mt.add_argument("--auto-target-rows", type=int, default=1_000_000,
+                    metavar="ROWS",
+                    help="--auto: bin-pack buckets averaging under "
+                         "ROWS/2 rows per base file")
     mt.add_argument("--rollback", type=int, metavar="VERSION",
                     help="roll back to snapshot VERSION as a new "
                          "metadata-only commit (undone batch ids are "

@@ -2426,6 +2426,75 @@ class LakeTable:
                     pass
         return {"removed_files": removed, "removed_dirs": removed_dirs}
 
+    def auto_maintain(
+        self,
+        *,
+        max_delta_files: int = 4,
+        target_rows: int = 1_000_000,
+        keep_snapshots: int | None = None,
+        retry_recompute: int = 2,
+    ) -> dict:
+        """Policy-driven maintenance pass — the standing loop a deployment
+        cron-runs instead of hand-picking actions. Decides from
+        :meth:`describe` metrics, runs only what the table needs, and
+        reports every decision WITH its reason (including the skips):
+
+        - any bucket holding > ``max_delta_files`` unmerged delta files
+          → :meth:`compact` exactly those buckets (bounded write
+          amplification: the backlog threshold is per bucket, so one hot
+          bucket never triggers a table-wide rewrite);
+        - buckets averaging under ``target_rows/2`` rows per base file
+          → :meth:`rewrite_small_files` (its own ``min_files`` guard
+          keeps healthy buckets untouched);
+        - ``keep_snapshots`` set → :meth:`expire_snapshots` after the
+          rewrites (their commits add versions; expiring last keeps the
+          window meaningful).
+
+        Each action retries around live ingest (``retry_recompute``) —
+        the same standing-compactor contract as ``maintain --compact``."""
+        actions: dict = {}
+        backlog = self.delta_file_counts()
+        hot = sorted(b for b, n in backlog.items() if n > max_delta_files)
+        if hot:
+            before = self.current_version()
+            self.compact(buckets=hot, retry_recompute=retry_recompute)
+            actions["compact"] = {
+                "buckets": hot,
+                "reason": f"delta backlog > {max_delta_files} files/bucket",
+                "committed": self.current_version() != before,
+            }
+        else:
+            actions["compact"] = {
+                "skipped": f"max bucket backlog "
+                f"{max(backlog.values(), default=0)} <= {max_delta_files}"
+            }
+        per_bucket: dict[int, list[int]] = {}
+        for e in self._entries():
+            if not e.get("delta"):
+                per_bucket.setdefault(e["bucket"], []).append(e["rows"])
+        frag = sorted(
+            b
+            for b, rows in per_bucket.items()
+            if len(rows) >= 2 and sum(rows) / len(rows) < target_rows / 2
+        )
+        if frag:
+            m = self.rewrite_small_files(
+                target_rows=target_rows, buckets=frag,
+                retry_recompute=retry_recompute,
+            )
+            actions["rewrite_small_files"] = {
+                "buckets": frag,
+                "reason": f"avg base file rows < {target_rows // 2}",
+                "committed": m["operation"] == "rewrite",
+            }
+        else:
+            actions["rewrite_small_files"] = {"skipped": "no fragmented buckets"}
+        if keep_snapshots is not None:
+            actions["expire_snapshots"] = self.expire_snapshots(
+                keep_last=keep_snapshots
+            )
+        return actions
+
     # -- schema evolution ----------------------------------------------------------
 
     def add_column(self, name: str, type_ddl: str, batch_id: int | None = None) -> dict:

@@ -73,6 +73,56 @@ def test_describe_reflects_tags_staged_and_versions(spark, scratch):
     assert old["version"] == 1 and old["rows"] == 0
 
 
+def test_auto_maintain_compacts_backlogged_buckets_only(spark, scratch):
+    t, schema = _table(spark, scratch, "a1", buckets=2)
+    t.append(spark.createDataFrame(
+        [(k, k, f"v{k}") for k in range(20)], schema
+    ))
+    d = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    # 5 delta commits targeting key 0's bucket only → one hot bucket
+    for i in range(5):
+        t.append_delta(spark.createDataFrame(
+            [(0, 100 + i, f"u{i}", "upsert")], d
+        ))
+    hot = t.bucket_of({"k": 0})
+    assert t.delta_file_counts()[hot] == 5
+    rep = t.auto_maintain(max_delta_files=4)
+    assert rep["compact"]["buckets"] == [hot] and rep["compact"]["committed"]
+    assert t.delta_file_counts().get(hot, 0) == 0
+    assert {r.k: r.v for r in t.read().collect()}[0] == "u4"
+    # second pass: nothing to do, reasons reported
+    rep2 = t.auto_maintain(max_delta_files=4)
+    assert "skipped" in rep2["compact"]
+    assert "skipped" in rep2["rewrite_small_files"]
+
+
+def test_auto_maintain_binpacks_fragmented_buckets(spark, scratch):
+    t, schema = _table(spark, scratch, "a2", buckets=1)
+    for i in range(4):  # 4 tiny base files in one bucket
+        t.append(spark.createDataFrame(
+            [(10 * i + j, j, "x") for j in range(5)], schema
+        ))
+    assert t.describe()["files"]["base"] == 4
+    rep = t.auto_maintain(target_rows=1000)
+    assert rep["rewrite_small_files"]["committed"]
+    assert t.describe()["files"]["base"] == 1
+    assert t.total_rows() == 20
+
+
+def test_auto_maintain_cli(spark, scratch):
+    t, schema = _table(spark, scratch, "a3")
+    t.append(spark.createDataFrame([(1, 1, "a")], schema))
+    r = subprocess.run(
+        [sys.executable, "-m", "sqoop_spark.cli", "maintain",
+         "--path", t.path, "--auto", "--expire-snapshots", "5"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    rep = json.loads(r.stdout.strip().splitlines()[-1])["auto"]
+    assert "skipped" in rep["compact"]
+    assert rep["expire_snapshots"]["expired_versions"] == 0
+
+
 def test_describe_cli(spark, scratch):
     t, schema = _table(spark, scratch, "d3")
     t.append(spark.createDataFrame([(1, 1, "a")], schema))
