@@ -1127,6 +1127,102 @@ def q_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changelog_pre_post(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg changelog-view row shape (``changes_between(...,
+    pre_post=True)``): each update emits an ``update_before`` (old values)
+    and an ``update_after`` (new values) row — the contract that turns
+    aggregate maintenance into signed sums (lake/rollup.py). One explode
+    over the same manifest-diff-pruned join as ``snapshot_changelog``, not
+    a second diff. Oracled by the same DuckDB full-outer join emitting the
+    pre/post pair per changed key."""
+    table, j = _staged_replay(spark, sf_dir)
+    return table.changes_between(1 + j, pre_post=True).select(
+        "repo", "path", F.col("_change").alias("change"), "event_seq"
+    )
+
+
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (lake/rollup.py): a
+    per-repo (count, sum of content length) rollup is bootstrapped at the
+    MID-replay snapshot, then maintained to the final snapshot purely from
+    per-version pre/post changelog diffs — signed-sum deltas joined against
+    only the affected rollup buckets; the source is never re-aggregated.
+    Each apply is fenced with batch id = source version (crash-redelivery
+    is a no-op; tests/test_rollup.py). The result must equal DuckDB's
+    batch GROUP BY over the final newest-wins state — the recompute the
+    incremental path replaces."""
+    from sqoop_spark.cdc import JobStore
+    from sqoop_spark.lake.rollup import (
+        RollupAgg,
+        bootstrap_rollup,
+        create_rollup,
+        maintain_rollup,
+    )
+
+    table, j = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_rollup_")
+    aggs = [
+        RollupAgg("n_paths", "count"),
+        RollupAgg("sum_len", "sum", "length(content)"),
+    ]
+    roll = create_rollup(spark, f"{tmp}/rollup", table, ["repo"], aggs, num_buckets=8)
+    store = JobStore(f"{tmp}/jobs")
+    store.create("roll", {})
+    bootstrap_rollup(table, roll, ["repo"], aggs, store, "roll", version=1 + j)
+    applied = maintain_rollup(table, roll, ["repo"], aggs, store, "roll")
+    assert applied >= 1, "post-bootstrap commits must arrive as delta passes"
+    return _materialize_and_clean(
+        roll.read().select(
+            "repo",
+            F.col("n_paths").cast("long").alias("n_paths"),
+            F.col("sum_len").cast("long").alias("sum_len"),
+        ),
+        tmp,
+    )
+
+
+def q_merge_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-granular copy-on-write (cdc/merge.py ``_split_zone_carry``):
+    after clustering the replay table by ``repo`` (files get narrow key
+    zone maps), a merge batch that touches ONE repo rewrites only the
+    files whose key bounds overlap it — every other file of the affected
+    buckets is carried by reference, asserted in-query via the commit's
+    lineage counters. Write amplification O(overlapping files), not
+    O(bucket). Oracled by DuckDB recomputing the final state with the
+    single-repo batch applied on top of newest-wins."""
+    from sqoop_spark.cdc.merge import merge_apply
+    from sqoop_spark.lake import LakeTable
+
+    src, _j = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_fskip_")
+    dst = f"{tmp}/repos"
+    shutil.copytree(src.path, dst)
+    t = LakeTable.load(spark, dst)
+    # ~8 files per bucket, each covering a narrow repo range.
+    total_rows = sum(e["rows"] for e in t.manifest()["files"])
+    t.rewrite_clustered(
+        column="repo", target_rows=max(1, total_rows // (t.num_buckets * 8))
+    )
+    files_before = len(t.manifest()["files"])
+    probe = t.read().agg(
+        F.min("repo").alias("r"), F.max("event_seq").alias("m")
+    ).collect()[0]
+    batch = (
+        t.read()
+        .filter(F.col("repo") == probe["r"])
+        .withColumn("content", F.concat(F.col("content"), F.lit("!")))
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+        .withColumn("event_seq", F.col("event_seq") + F.lit(probe["m"]))
+        .withColumn("op", F.lit("upsert"))
+    )
+    merge_apply(t, batch, batch_id=10_000_019, order_col="event_seq")
+    c = t.manifest()["lineage"]["counters"]
+    assert c["files_carried"] > 0, (
+        f"zone-map carry must skip files: {c} of {files_before}"
+    )
+    return _materialize_and_clean(t.read(), tmp)
+
+
 def q_changelog_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outbound CDC end-to-end: a fresh replica consumes EVERY content
     commit of the staged replay as a changelog diff (``iter_changes`` →
@@ -1275,6 +1371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "changelog_replication": q_changelog_replication,
         "ann_cosine_topk_blas": q_ann_cosine_topk_blas,
+        "changelog_pre_post": q_changelog_pre_post,
+        "rollup_incremental": q_rollup_incremental,
+        "merge_file_skip": q_merge_file_skip,
     }
 
 
@@ -2020,6 +2119,73 @@ WITH ce AS ({ce})
 SELECT {TABLE_COLS} FROM ce,
      (SELECT CAST(floor(max(event_seq) / 2) AS BIGINT) AS h FROM ce) b
 WHERE event_seq > h
+""",
+        "changelog_pre_post": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+cut AS (SELECT CAST(floor(max(batch_id) / 2) AS BIGINT) AS mb FROM ce),
+oldr AS (
+  SELECT * FROM (
+    SELECT ce.*, row_number() OVER (
+        PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+    FROM ce, cut WHERE batch_id <= mb
+  ) t WHERE rn = 1 AND op <> 'delete'
+),
+newr AS (
+  SELECT * FROM (
+    SELECT ce.*, row_number() OVER (
+        PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+    FROM ce
+  ) t WHERE rn = 1 AND op <> 'delete'
+),
+j AS (
+  SELECT o.repo AS o_repo, o.path AS o_path, o.event_seq AS o_seq,
+         n.repo AS n_repo, n.path AS n_path, n.event_seq AS n_seq
+  FROM oldr o FULL OUTER JOIN newr n
+    ON o.repo = n.repo AND o.path = n.path
+)
+SELECT n_repo AS repo, n_path AS path, 'insert' AS change, n_seq AS event_seq
+FROM j WHERE o_repo IS NULL
+UNION ALL
+SELECT o_repo, o_path, 'delete', o_seq FROM j WHERE n_repo IS NULL
+UNION ALL
+SELECT o_repo, o_path, 'update_before', o_seq
+FROM j WHERE o_repo IS NOT NULL AND n_repo IS NOT NULL AND o_seq <> n_seq
+UNION ALL
+SELECT n_repo, n_path, 'update_after', n_seq
+FROM j WHERE o_repo IS NOT NULL AND n_repo IS NOT NULL AND o_seq <> n_seq
+""",
+        "rollup_incremental": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+final AS (
+  SELECT {TABLE_COLS} FROM (
+    SELECT ce.*, row_number() OVER (
+        PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+    FROM ce
+  ) t WHERE rn = 1 AND op <> 'delete'
+)
+SELECT repo, CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(sum(coalesce(length(content), 0)) AS BIGINT) AS sum_len
+FROM final GROUP BY repo
+""",
+        "merge_file_skip": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+final AS (
+  SELECT {TABLE_COLS} FROM (
+    SELECT ce.*, row_number() OVER (
+        PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+    FROM ce
+  ) t WHERE rn = 1 AND op <> 'delete'
+),
+mx AS (SELECT max(event_seq) AS m FROM ce),
+mr AS (SELECT min(repo) AS r FROM final)
+SELECT f.repo, f.path, f.commit, f.lang,
+       CASE WHEN f.repo = mr.r THEN f.content || '!' ELSE f.content END AS content,
+       CASE WHEN f.repo = mr.r THEN sha256(f.content || '!')
+            ELSE f.content_sha END AS content_sha,
+       CASE WHEN f.repo = mr.r THEN f.event_seq + mx.m
+            ELSE f.event_seq END AS event_seq,
+       f.event_ts
+FROM final f, mx, mr
 """,
         "dedup_minhash_lsh": _minhash_lsh_sql(k=3, num_perm=16, bands=8, threshold=0.3),
         "minhash_signatures": _minhash_sig_sql(k=3, num_perm=16),

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from sqoop_spark.errors import EngineError
 from sqoop_spark.lake import LakeTable
+from sqoop_spark.lake.table import _json_stat
 
 _log = logging.getLogger(__name__)
 
@@ -423,6 +424,53 @@ def _merge_apply_mor(
     )
 
 
+def _split_zone_carry(
+    entries: list[dict], batch_ranges: dict, key_cols: list[str]
+) -> tuple[list[dict], list[dict]]:
+    """Partition the affected buckets' base file entries into ``(touched,
+    carry)``: an entry is carried — kept in the CoW commit BY REFERENCE,
+    never read or rewritten — when its per-file key zone maps prove no
+    batch key can equal any row key in it (some key column's ``[min, max]``
+    is disjoint from the batch's ``[min, max]`` for that bucket; equality
+    needs every column to land inside the file's bounds, so one disjoint
+    column is proof). Write amplification of a CoW merge drops from
+    O(bucket) to O(files the batch keys can actually touch) — Iceberg's
+    "overwrite only overlapping data files", material on clustered tables
+    (``rewrite_clustered``) where each file covers a narrow key range.
+
+    Fail-closed to touched wherever a bound is missing (pre-stats files,
+    types with no order-preserving JSON form). Buckets holding delta or
+    tombstone files are fully touched: delta resolution is bucket-granular
+    and must fold into the rewrite, and the full-bucket CoW contract drops
+    spent tombstones — carrying base files around them would change that.
+    """
+    full_rewrite = {
+        e["bucket"] for e in entries if e.get("delta") or e.get("tombstone")
+    }
+    touched: list[dict] = []
+    carry: list[dict] = []
+    for e in entries:
+        if e["bucket"] in full_rewrite:
+            touched.append(e)
+            continue
+        rng = batch_ranges.get(e["bucket"])
+        st = e.get("stats") or {}
+        skip = False
+        if rng:
+            for k in key_cols:
+                s = st.get(k)
+                if not s:
+                    continue
+                mn, mx = rng.get(k, (None, None))
+                if mn is None or mx is None:
+                    continue
+                if s[1] < mn or s[0] > mx:
+                    skip = True
+                    break
+        (carry if skip else touched).append(e)
+    return touched, carry
+
+
 def merge_apply(
     table: LakeTable,
     batch: DataFrame,
@@ -439,6 +487,7 @@ def merge_apply(
     auto_compact_threshold: int = 16,
     obs_timeout: float = 10.0,
     commit_retry_disjoint: int = 0,
+    file_granular: bool = True,
 ) -> MergeStats:
     """Apply one change batch to the lake table.
 
@@ -449,7 +498,11 @@ def merge_apply(
 
     Strategies:
     - ``cow`` (copy-on-write): full-outer join against the touched buckets,
-      rewrite them. Exact per-batch counters; write volume O(bucket data).
+      rewrite them. Exact per-batch counters; write volume O(bucket data) —
+      less with ``file_granular`` (default): within each affected bucket,
+      base files whose key zone maps are disjoint from the batch's key
+      range (recorded by the same probe job) are carried by reference
+      instead of read+rewritten, so write volume is O(overlapping files).
     - ``mor`` (merge-on-read): append newest-wins delta files; resolution
       happens at read time / compaction (LakeTable._resolve). Write volume
       O(batch) — the 10^10-event scale path (a CoW rewrite per batch is
@@ -506,11 +559,36 @@ def merge_apply(
     # newest-wins reduce cannot change the key set, so probing before the
     # window/UDF chain reads just the key columns (parquet column pruning)
     # instead of materializing the transformed batch. Tiny result
-    # (≤ num_buckets ints); this is the pruning key.
-    affected = sorted(
-        r["_b"]
-        for r in batch.select(table.bucket_expr().alias("_b")).distinct().collect()
-    )
+    # (≤ num_buckets rows); this is the pruning key. On the CoW path the
+    # SAME probe job also records per-bucket [min, max] of every key
+    # column — the batch-side half of the file-granular zone-map carry
+    # (``_split_zone_carry``); no extra job, the min/max partials ride the
+    # groupBy's map-side combine.
+    if strategy == "cow" and file_granular:
+        aggs = []
+        for k in key_cols:
+            aggs.append(F.min(F.col(k)).alias(f"_mn_{k}"))
+            aggs.append(F.max(F.col(k)).alias(f"_mx_{k}"))
+        probe = (
+            batch.select(table.bucket_expr().alias("_b"), *key_cols)
+            .groupBy("_b")
+            .agg(*aggs)
+            .collect()
+        )
+        affected = sorted(r["_b"] for r in probe)
+        batch_ranges = {
+            r["_b"]: {
+                k: (_json_stat(r[f"_mn_{k}"]), _json_stat(r[f"_mx_{k}"]))
+                for k in key_cols
+            }
+            for r in probe
+        }
+    else:
+        affected = sorted(
+            r["_b"]
+            for r in batch.select(table.bucket_expr().alias("_b")).distinct().collect()
+        )
+        batch_ranges = {}
     _mark("affected-probe")
 
     obs_in = Observation(f"merge-in-{batch_id}")
@@ -594,8 +672,15 @@ def merge_apply(
     # a concurrent commit surfaces as ConcurrentCommitError instead of
     # silently vanishing from the carried file list (lake/table.py _commit).
     base_version = table.current_version()
+    # File-granular CoW: within affected buckets, split the base files
+    # into touched (read + rewritten) and carry (key zone maps prove no
+    # batch key lands in them — committed by reference, zero IO).
+    base_entries = table._entries(base_version, buckets=set(affected))
+    touched_entries, carry_entries = _split_zone_carry(
+        base_entries, batch_ranges, key_cols
+    )
     old = (
-        table.read_buckets(affected)
+        table._state_of_entries(touched_entries, base_version)
         .observe(obs_old, F.count(F.lit(1)).alias("old_rows"))
         .withColumn("_bucket", table.bucket_expr())
     )
@@ -708,31 +793,34 @@ def merge_apply(
         lineage=None,  # patched below once counters are known
         base_version=base_version,
         retry_conflicts=commit_retry_disjoint,
+        carry_entries=carry_entries,
     )
     # AQE's empty-relation propagation can eliminate a CollectMetrics node
     # when the merged subtree is empty (e.g. a batch that deletes every row
     # of its buckets) — treat a missing observation as an empty write.
     _mark("join+write+commit")
     got = _safe_observation(obs, obs_timeout)
-    carried = int(got.get("carried") or 0)
+    # Rows in carried files never flow through the plan: count them into
+    # `carried` (and symmetrically into old_rows) from manifest metadata,
+    # keeping `deleted = old - carried - updated` exact under file skip.
+    skipped_rows = sum(e["rows"] for e in carry_entries)
+    carried = int(got.get("carried") or 0) + skipped_rows
     updated = int(got.get("updated") or 0)
     inserted = int(got.get("inserted") or 0)
     got_old = _safe_observation(obs_old, obs_timeout)
     if "old_rows" in got_old:
-        old_rows_touched = int(got_old.get("old_rows") or 0)
+        old_rows_touched = int(got_old.get("old_rows") or 0) + skipped_rows
     else:
         # Metrics node eliminated (AQE empty-relation) or listener bus
-        # unreachable: fall back to the PARENT manifest's physical rows —
+        # unreachable: fall back to the BASE manifest's physical rows —
         # exact when the touched buckets held no MoR deltas; with deltas
         # present, logical rows are unknowable without a job, so count
         # conservatively (deleted reports 0; state is still correct).
-        pm = table.manifest(manifest["parent"])
-        bs = set(affected)
-        had_delta = any(e.get("delta") and e["bucket"] in bs for e in pm["files"])
+        had_delta = any(e.get("delta") for e in touched_entries)
         if had_delta:
             old_rows_touched = carried + updated
         else:
-            old_rows_touched = sum(e["rows"] for e in pm["files"] if e["bucket"] in bs)
+            old_rows_touched = sum(e["rows"] for e in base_entries)
     deleted = old_rows_touched - carried - updated
     got_in = _safe_observation(obs_in, obs_timeout)
     rows_in = int(got_in.get("events_in") or 0)
@@ -754,6 +842,11 @@ def merge_apply(
         "inserted": inserted,
         "deleted": deleted,
         "old_rows_touched": old_rows_touched,
+        # File-granular CoW observability: how many base files the key
+        # zone maps let this merge keep by reference (and their rows).
+        "files_carried": len(carry_entries),
+        "files_rewritten_from": len(touched_entries),
+        "rows_carried_by_file_skip": skipped_rows,
     }
     table.patch_lineage(
         manifest,

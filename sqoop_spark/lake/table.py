@@ -579,6 +579,7 @@ class LakeTable:
         from_version: int,
         to_version: int | None = None,
         compare_cols: list[str] | None = None,
+        pre_post: bool = False,
     ) -> DataFrame:
         """Snapshot changelog — the row-level diff between two committed
         snapshots as insert/update/delete change rows (Iceberg's changelog
@@ -596,7 +597,16 @@ class LakeTable:
         zone-map skip: the diff costs O(changed buckets), not O(table)).
         The remaining states full-outer join hash-partitioned on the key;
         ``update`` means any ``compare_cols`` column differs null-safely
-        (default: every non-key column)."""
+        (default: every non-key column).
+
+        ``pre_post=True`` switches to Iceberg's changelog-view row shape:
+        each update emits TWO rows — ``update_before`` (old values) and
+        ``update_after`` (new values) — instead of one ``update`` row.
+        That makes every aggregate delta a signed sum (insert /
+        update_after contribute +, delete / update_before contribute −),
+        the contract incremental materialized-view maintenance needs
+        (lake/rollup.py). One plan either way: the pre/post pair rides a
+        single explode over the same join, not a second diff."""
         to_v = to_version if to_version is not None else self.current_version()
         cur = self.current_version() or 0
         for v in (from_version, to_v):
@@ -651,18 +661,50 @@ class LakeTable:
         differs = F.lit(False)
         for c in compare_cols:
             differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-        change = (
-            F.when(~has_old, F.lit("insert"))
-            .when(~has_new, F.lit("delete"))
-            .otherwise(F.lit("update"))
+        base = joined.filter(~has_old | ~has_new | differs)
+        if not pre_post:
+            change = (
+                F.when(~has_old, F.lit("insert"))
+                .when(~has_new, F.lit("delete"))
+                .otherwise(F.lit("update"))
+            )
+            out_cols = [
+                F.when(has_new, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+                for c in schema_cols
+            ]
+            return base.select(*out_cols, change.alias("_change"))
+        old_struct = F.struct(*[F.col(f"o.{c}").alias(c) for c in schema_cols])
+        new_struct = F.struct(*[F.col(f"n.{c}").alias(c) for c in schema_cols])
+        rows = (
+            F.when(
+                ~has_old,
+                F.array(
+                    F.struct(F.lit("insert").alias("_change"), new_struct.alias("_row"))
+                ),
+            )
+            .when(
+                ~has_new,
+                F.array(
+                    F.struct(F.lit("delete").alias("_change"), old_struct.alias("_row"))
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        F.lit("update_before").alias("_change"),
+                        old_struct.alias("_row"),
+                    ),
+                    F.struct(
+                        F.lit("update_after").alias("_change"),
+                        new_struct.alias("_row"),
+                    ),
+                )
+            )
         )
-        out_cols = [
-            F.when(has_new, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
-            for c in schema_cols
-        ]
-        return (
-            joined.filter(~has_old | ~has_new | differs)
-            .select(*out_cols, change.alias("_change"))
+        ex = base.select(F.explode(rows).alias("e"))
+        return ex.select(
+            *[F.col(f"e._row.{c}").alias(c) for c in schema_cols],
+            F.col("e._change").alias("_change"),
         )
 
     def delta_file_counts(self) -> dict[int, int]:
@@ -1415,12 +1457,17 @@ class LakeTable:
         lineage: dict | None = None,
         base_version: int | None = None,
         retry_conflicts: int = 0,
+        carry_entries: list[dict] | None = None,
     ) -> dict:
         """Copy-on-write commit: replace all files of ``buckets`` with ``df``.
 
         Files outside the bucket set are carried forward by reference — the
         merge-apply path. ``df`` must contain only rows belonging to the
-        given buckets.
+        given buckets. ``carry_entries`` are base-snapshot file entries
+        INSIDE the bucket set that the caller proved untouched (key
+        zone-map disjointness — cdc/merge.py ``_split_zone_carry``); they
+        are kept by reference too, so a file-granular CoW rewrites only
+        the overlapping files of each bucket.
 
         ``base_version`` pins the snapshot ``df`` was computed against
         (the caller's read point); the commit is based there, so a
@@ -1435,6 +1482,19 @@ class LakeTable:
         """
         bs = set(int(b) for b in buckets)
         base = self.manifest(base_version)
+        keep = list(carry_entries or [])
+        if keep:
+            base_paths = {e["path"] for e in base["files"]}
+            bad = [
+                e["path"]
+                for e in keep
+                if e["path"] not in base_paths or e["bucket"] not in bs
+            ]
+            if bad:
+                raise EngineError(
+                    "carry_entries must be base-snapshot files inside the "
+                    f"bucket set; not: {bad[:3]}"
+                )
         entries = self._write_data_files(self._prepare_df(df))
         stray = {e["bucket"] for e in entries} - bs
         if stray:
@@ -1449,7 +1509,7 @@ class LakeTable:
             carried = [e for e in base["files"] if e["bucket"] not in bs]
             try:
                 return self._commit(
-                    "merge", carried + entries, batch_id, summary, lineage,
+                    "merge", carried + keep + entries, batch_id, summary, lineage,
                     base=base,
                 )
             except ConcurrentCommitError:

@@ -54,6 +54,7 @@ def iter_changes(
     from_version: int,
     to_version: int | None = None,
     coalesce: bool = False,
+    pre_post: bool = False,
 ) -> Iterator[tuple[int, DataFrame]]:
     """Yield ``(version, diff)`` for each content commit after
     ``from_version`` up to ``to_version`` (current when None).
@@ -63,6 +64,10 @@ def iter_changes(
     key). With ``coalesce=True`` the whole range collapses to a single
     ``(to_version, diff)`` pair: cheaper for a consumer that only wants
     the net state delta, at the cost of losing intermediate history.
+    ``pre_post=True`` emits Iceberg changelog-view rows (updates split
+    into ``update_before``/``update_after`` — see
+    ``LakeTable.changes_between``); coalescing stays sound because the
+    transitive diff's pre-images are the FROM-version values.
     """
     current = table.current_version() or 0
     to_v = to_version if to_version is not None else current
@@ -78,7 +83,7 @@ def iter_changes(
         )
     if coalesce:
         if to_v > from_version:
-            yield to_v, table.changes_between(from_version, to_v)
+            yield to_v, table.changes_between(from_version, to_v, pre_post=pre_post)
         return
     for v in range(from_version + 1, to_v + 1):
         if not table.manifest_exists(v) or not table.manifest_exists(v - 1):
@@ -89,7 +94,7 @@ def iter_changes(
             )
         if table.manifest(v)["operation"] not in _CONTENT_OPS:
             continue
-        yield v, table.changes_between(v - 1, v)
+        yield v, table.changes_between(v - 1, v, pre_post=pre_post)
 
 
 def apply_changes(target: dict, diff: DataFrame, key_cols: list[str]) -> dict:
