@@ -1554,22 +1554,51 @@ class LakeTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         return F.coalesce(cond.cast("boolean"), F.lit(False))
 
-    def _matched_buckets(self, state: DataFrame, pred: F.Column) -> dict[int, int]:
-        """Discovery probe: bucket id → matched-row count over the logical
-        state. One scan with column pruning (only the predicate's columns
-        plus the key columns reach the reader); the result is bounded by
-        ``num_buckets`` rows — the same tiny-collect shape as the
-        merge-apply affected-bucket probe (cdc/merge.py)."""
+    def _matched_files(
+        self, state: DataFrame, pred: F.Column
+    ) -> tuple[dict[int, int], set[str], set[int]]:
+        """Discovery probe for DML: bucket id → matched-row count, PLUS the
+        exact manifest-relative paths of files holding matching rows
+        (``input_file_name`` — exact attribution, not a zone-map bound),
+        PLUS the buckets with UNATTRIBUTED matches (rows that crossed a
+        shuffle before attribution — resolve-bucket winners — where
+        ``input_file_name`` is empty). One column-pruned scan; the collect
+        is bounded by the number of matched files. Callers may carry a
+        plain bucket's file iff it is not in the matched set and its bucket
+        has no unattributed matches."""
         rows = (
             state.filter(pred)
-            .groupBy(self.bucket_expr().alias("_b"))
+            .groupBy(
+                self.bucket_expr().alias("_b"),
+                F.input_file_name().alias("_f"),
+            )
             .count()
             .collect()
         )
-        return {int(r["_b"]): int(r["count"]) for r in rows}
+        from urllib.parse import unquote, urlparse
+
+        root = os.path.abspath(self.path)
+        counts: dict[int, int] = {}
+        matched: set[str] = set()
+        unattributed: set[int] = set()
+        for r in rows:
+            b = int(r["_b"])
+            counts[b] = counts.get(b, 0) + int(r["count"])
+            f = r["_f"] or ""
+            p = unquote(urlparse(f).path) if f else ""
+            p = os.path.abspath(p) if p else ""
+            if p and p.startswith(root + os.sep):
+                matched.add(os.path.relpath(p, root))
+            else:
+                unattributed.add(b)
+        return counts, matched, unattributed
 
     def _dml_bucket_winners(self, base: dict, buckets: set[int]) -> DataFrame:
-        """Newest-wins winners of ``buckets`` at ``base`` WITH the ``_op``
+        entries = [e for e in base["files"] if e["bucket"] in buckets]
+        return self._dml_entry_winners(base, entries)
+
+    def _dml_entry_winners(self, base: dict, entries: list[dict]) -> DataFrame:
+        """Newest-wins winners of ``entries`` at ``base`` WITH the ``_op``
         column retained — winning CDC delete markers included, so a DML
         rewrite of a bucket holding unmerged deltas or retained tombstones
         never drops the markers that guard against out-of-order
@@ -1578,9 +1607,10 @@ class LakeTable:
         non-tombstone deltas pay the resolve window; plain buckets scan
         base files (live winners) and tombstone files (delete winners)
         as-is — their key sets are disjoint by the compaction contract, so
-        no shuffle is needed there."""
+        no shuffle is needed there. Callers must pass every entry of a
+        bucket that holds deltas or tombstones (the file-granular DML path
+        only prunes files in plain buckets)."""
         version = base["version"]
-        entries = [e for e in base["files"] if e["bucket"] in buckets]
         rb = self._resolve_buckets(entries)
         plain = [
             e
@@ -1618,12 +1648,15 @@ class LakeTable:
         event from the source; the reference has no analog — Sqoop tables
         are write-once exports).
 
-        Copy-on-write at bucket granularity: one discovery scan finds the
-        buckets holding matching rows (collect bounded by ``num_buckets``),
-        only those buckets are resolved and rewritten without the matching
-        rows, everything else is carried by reference — O(scan) +
-        O(affected buckets) write, never O(table) write. Rows where the
-        condition is NULL are KEPT (SQL DML semantics).
+        Copy-on-write at FILE granularity: one discovery scan finds the
+        exact files holding matching rows (``input_file_name``
+        attribution); only those files — plus every file of buckets whose
+        winners span files (unmerged deltas / tombstones) — are read and
+        rewritten without the matching rows, everything else is carried by
+        reference. O(scan) + O(matched files) write, never O(table): the
+        GDPR shape — erasing one subject rewrites the handful of files
+        carrying their rows. Rows where the condition is NULL are KEPT
+        (SQL DML semantics).
 
         Deleted keys are retained as tombstone delta rows — key columns and
         the order column only, every other column NULLed so the erased
@@ -1652,17 +1685,41 @@ class LakeTable:
                     raise
                 attempt += 1
 
+    def _dml_split_touched(
+        self, base: dict, bs: set[int], matched: set[str], unattributed: set[int]
+    ) -> tuple[list[dict], list[dict]]:
+        """File-granular DML split of the affected buckets' entries:
+        ``(touched, kept)`` — a file is kept (carried by reference, never
+        read or rewritten) when its bucket is plain (no delta/tombstone
+        entries — winners there are per-file), every one of its bucket's
+        matches was attributed to a file, and it is not a matched file.
+        Write amplification: O(files actually holding matching rows), the
+        GDPR-delete shape at 100 TB (erase one subject → rewrite only the
+        few files carrying their rows)."""
+        aff = [e for e in base["files"] if e["bucket"] in bs]
+        full = {
+            e["bucket"] for e in aff if e.get("delta") or e.get("tombstone")
+        } | unattributed
+        touched, kept = [], []
+        for e in aff:
+            if e["bucket"] in full or e["path"] in matched:
+                touched.append(e)
+            else:
+                kept.append(e)
+        return touched, kept
+
     def _delete_where_once(
         self, pred: F.Column, batch_id, summary, tombstone_horizon
     ) -> dict:
         base = self.manifest()
-        counts = self._matched_buckets(
+        counts, matched, unattributed = self._matched_files(
             self._read_state(base["version"], None), pred
         )
         if not counts:
             return base
         bs = set(counts)
-        win = self._dml_bucket_winners(base, bs).persist()
+        touched, kept = self._dml_split_touched(base, bs, matched, unattributed)
+        win = self._dml_entry_winners(base, touched).persist()
         try:
             live = win.filter(F.col("_op") != "delete")
             keep = live.filter(~pred).drop("_op")
@@ -1682,7 +1739,7 @@ class LakeTable:
             )
         finally:
             win.unpersist()
-        carried = [e for e in base["files"] if e["bucket"] not in bs]
+        carried = [e for e in base["files"] if e["bucket"] not in bs] + kept
         return self._commit(
             "delete",
             carried + entries + tomb_entries,
@@ -1691,6 +1748,8 @@ class LakeTable:
                 **(summary or {}),
                 "rows_deleted": sum(counts.values()),
                 "rewritten_buckets": len(bs),
+                "files_carried_in_buckets": len(kept),
+                "files_rewritten_from": len(touched),
             },
             None,
             base=base,
@@ -1705,9 +1764,10 @@ class LakeTable:
         retry_recompute: int = 0,
     ) -> dict:
         """Row-level predicate UPDATE (Iceberg/Delta ``UPDATE t SET ...
-        WHERE cond``) — same bucket-granular copy-on-write shape as
-        :meth:`delete_where`: discovery scan, resolve-and-rewrite only the
-        affected buckets, carry the rest by reference.
+        WHERE cond``) — same file-granular copy-on-write shape as
+        :meth:`delete_where`: discovery scan attributes matches to exact
+        files, only those (plus delta/tombstone buckets' files) are
+        resolved and rewritten, everything else is carried by reference.
 
         ``assignments`` maps column name → new value (SQL expression string
         or Column, evaluated against the matching row — e.g.
@@ -1750,13 +1810,14 @@ class LakeTable:
         self, pred: F.Column, exprs: dict[str, F.Column], batch_id, summary
     ) -> dict:
         base = self.manifest()
-        counts = self._matched_buckets(
+        counts, matched, unattributed = self._matched_files(
             self._read_state(base["version"], None), pred
         )
         if not counts:
             return base
         bs = set(counts)
-        win = self._dml_bucket_winners(base, bs).persist()
+        touched, kept = self._dml_split_touched(base, bs, matched, unattributed)
+        win = self._dml_entry_winners(base, touched).persist()
         try:
             live = win.filter(F.col("_op") != "delete").drop("_op")
             updated = live.filter(pred).select(
@@ -1771,7 +1832,7 @@ class LakeTable:
             )
         finally:
             win.unpersist()
-        carried = [e for e in base["files"] if e["bucket"] not in bs]
+        carried = [e for e in base["files"] if e["bucket"] not in bs] + kept
         return self._commit(
             "update",
             carried + entries + tomb_entries,
@@ -1781,6 +1842,8 @@ class LakeTable:
                 "rows_updated": sum(counts.values()),
                 "rewritten_buckets": len(bs),
                 "set_columns": sorted(exprs),
+                "files_carried_in_buckets": len(kept),
+                "files_rewritten_from": len(touched),
             },
             None,
             base=base,

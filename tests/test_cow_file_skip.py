@@ -182,3 +182,95 @@ def test_update_only_and_allow_insert_respect_carry(spark, scratch):
     expect[2] = (3000, "upd")  # 7777 unmatched → silently ignored
     assert _state(t) == expect
     assert t.manifest()["lineage"]["counters"]["inserted"] == 0
+
+
+def test_delete_where_rewrites_only_matching_files(spark, scratch):
+    """File-granular DML: a predicate delete touching one narrow key range
+    rewrites only the files attributed by the discovery scan; every other
+    file in affected buckets carries by reference, and erased keys still
+    get payload-free tombstones."""
+    t = _clustered_table(spark, scratch, "dml1")
+    before = _paths(t)
+    n_files = len(before)
+    expect = _state(t)
+    m = t.delete_where("k >= 10 and k < 20", batch_id=1)
+    for k in range(10, 20):
+        del expect[k]
+    assert _state(t) == expect
+    s = m["summary"]
+    assert s["rows_deleted"] == 10
+    assert s["files_carried_in_buckets"] > 0
+    assert s["files_rewritten_from"] < n_files
+    assert len(before & _paths(t)) == s["files_carried_in_buckets"]
+    # GDPR markers survive as payload-free tombstones for the erased keys.
+    tomb = [e for e in t.manifest()["files"] if e.get("tombstone")]
+    assert sum(e["rows"] for e in tomb) == 10
+
+
+def test_update_where_rewrites_only_matching_files(spark, scratch):
+    t = _clustered_table(spark, scratch, "dml2")
+    before = _paths(t)
+    expect = _state(t)
+    m = t.update_where("k = 5", {"v": "upper(v)"}, batch_id=1)
+    expect[5] = (5, "V5")
+    assert _state(t) == expect
+    s = m["summary"]
+    assert s["rows_updated"] == 1
+    assert s["files_carried_in_buckets"] > 0
+    # exactly ONE file held k=5 → exactly one file rewritten; every other
+    # file (in or out of the affected bucket) survives by reference
+    assert s["files_rewritten_from"] == 1
+    assert len(before & _paths(t)) == len(before) - 1
+
+
+def test_dml_null_condition_rows_kept_with_file_skip(spark, scratch):
+    """NULL-evaluating rows are kept (SQL DML semantics) and, living in
+    unmatched files, are carried without ever being read."""
+    import os as _os
+
+    from pyspark.sql import types as T2
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        _os.path.join(scratch, "dml3"),
+        schema,
+        ["k"],
+        num_buckets=2,
+        properties={"order_column": "seq"},
+    )
+    rows = [(k, k, None if k % 2 else f"v{k}") for k in range(40)]
+    t.append(spark.createDataFrame(rows, schema))
+    t.rewrite_clustered(column="k", target_rows=10)
+    m = t.delete_where("length(v) >= 0 and k < 4", batch_id=1)
+    st = _state(t)
+    assert 0 not in st and 2 not in st, "even keys < 4 match and are deleted"
+    assert 1 in st and 3 in st, "NULL-condition rows are kept"
+    assert m["summary"]["files_carried_in_buckets"] > 0
+
+
+def test_delete_where_in_delta_bucket_full_rewrite(spark, scratch):
+    """A bucket holding unmerged MoR deltas cannot attribute winners to
+    files — the whole bucket rewrites (and compacts), like the merge path."""
+    t = _clustered_table(spark, scratch, "dml4")
+    mor_key = 77
+    merge_apply(
+        t,
+        spark.createDataFrame([(mor_key, 9000, "mor", "upsert")], BATCH_SCHEMA),
+        batch_id=1,
+        order_col="seq",
+        strategy="mor",
+    )
+    b = t.bucket_of({"k": mor_key})
+    pre = {e["path"] for e in t.manifest()["files"] if e["bucket"] == b}
+    m = t.delete_where(f"k = {mor_key}", batch_id=2)
+    post = {e["path"] for e in t.manifest()["files"] if e["bucket"] == b}
+    assert not (pre & post), "delta bucket must fully rewrite"
+    assert mor_key not in _state(t)
+    assert m["summary"]["rows_deleted"] == 1
