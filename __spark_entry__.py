@@ -1028,6 +1028,36 @@ def q_incremental_read_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(since, tmp)
 
 
+def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pruned scan (``LakeTable.scan`` — the Iceberg
+    manifest-bounds prune generalized to arbitrary conjunctive SQL):
+    the staged replay table is cloned and clustered on ``event_seq``,
+    then ``scan("event_seq > cut AND lang = 'python'")`` extracts the
+    prunable terms from the predicate string, skips every file whose
+    zone maps are disjoint from the range (asserted in-query: files
+    opened < total), fails open on ``lang`` (no stats recorded for it),
+    and re-applies the full predicate in-plan. DuckDB recomputes
+    newest-wins under the same WHERE."""
+    from sqoop_spark.lake import LakeTable
+
+    src, _j = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_scan_")
+    dst = f"{tmp}/repos"
+    shutil.copytree(src.path, dst)
+    t = LakeTable.load(spark, dst)
+    per_bucket = t.total_rows() // t.num_buckets
+    t.rewrite_clustered(target_rows=max(50, per_bucket // 4))
+    cut = _events(spark, sf_dir).agg(
+        F.floor(F.max("event_seq") * 4 / 5).cast("long")
+    ).collect()[0][0]
+    df = t.scan(f"event_seq > {cut} and lang = 'python'")
+    n_files = len(t.manifest()["files"])
+    assert len(df.inputFiles()) < n_files, (
+        "scan must skip files whose event_seq zone maps are below the cut"
+    )
+    return _materialize_and_clean(df, tmp)
+
+
 def q_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once → exactly-once ingest: every 7th event is redelivered
     after the whole original stream (reconnect replay); first_arrival_dedup
@@ -1359,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wap_publish_replay": q_wap_publish_replay,
         "point_lookup": q_point_lookup,
         "incremental_read_clustered": q_incremental_read_clustered,
+        "scan_pruned": q_scan_pruned,
         "time_travel": q_time_travel,
         "snapshot_history": q_snapshot_history,
         "dedup_first_arrival": q_dedup_first_arrival,
@@ -2056,6 +2087,17 @@ ranked AS (
 cut AS (SELECT CAST(floor(max(event_seq) * 4 / 5) AS BIGINT) AS x FROM ce)
 SELECT {TABLE_COLS} FROM ranked, cut
 WHERE rn = 1 AND op <> 'delete' AND event_seq > x
+""",
+        "scan_pruned": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+  FROM ce
+),
+cut AS (SELECT CAST(floor(max(event_seq) * 4 / 5) AS BIGINT) AS x FROM ce)
+SELECT {TABLE_COLS} FROM ranked, cut
+WHERE rn = 1 AND op <> 'delete' AND event_seq > x AND lang = 'python'
 """,
         "time_travel": f"""
 WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),

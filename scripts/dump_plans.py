@@ -359,7 +359,9 @@ def main() -> None:
     probe = (
         lt.read()
         .filter(F.col("v") == "v5")
-        .groupBy(lt.bucket_expr().alias("_b"))
+        .groupBy(
+            lt.bucket_expr().alias("_b"), F.input_file_name().alias("_f")
+        )
         .count()
     )
     sections.append(
@@ -368,10 +370,14 @@ def main() -> None:
             "Predicate DML starts with ONE discovery scan whose ReadSchema "
             "carries only the key and predicate columns (column pruning to "
             "the parquet reader — `seq` never leaves the footer) and whose "
-            "result is a ≤ num_buckets-row collect of (bucket, matched "
-            "count): the rewrite then touches ONLY those buckets, the rest "
-            "carry by reference. tests/test_dml.py pins the carry-by-"
-            "reference file paths.",
+            "result is a collect bounded by the number of matched files of "
+            "(bucket, input_file_name, matched count): the rewrite then "
+            "touches ONLY the files actually holding matching rows (whole "
+            "buckets only where winners span files — unmerged deltas / "
+            "tombstones — or where a match crossed a shuffle before "
+            "attribution); every other file carries by reference. "
+            "tests/test_dml.py and tests/test_cow_file_skip.py pin the "
+            "carry-by-reference file paths and the rewritten-file counts.",
             formatted(probe),
         )
     )
@@ -393,6 +399,27 @@ def main() -> None:
             "the tail-only open set; oracle incremental_read_clustered "
             "value-hashes the result.",
             formatted(c_since),
+        )
+    )
+
+    sc = lt.scan("seq > 320 and v = 'v330'")
+    sc_opened = len(sc.inputFiles())
+    sections.append(
+        (
+            "Predicate-pruned scan (LakeTable.scan)",
+            "Arbitrary conjunctive predicates prune at the MANIFEST before "
+            "Spark lists a path: the parser (lake/pruning.py) extracts "
+            "`seq > 320` as a prunable term (zone-map file skip — this "
+            f"scan opens {sc_opened} of {len(lt.manifest()['files'])} "
+            "files), fails open on the stat-less `v` term, and the full "
+            "predicate is re-applied in-plan (PushedFilters show BOTH "
+            "terms reaching the parquet reader — manifest pruning and "
+            "Spark's own row-group pruning compose). Full-key equality "
+            "additionally prunes to ONE bucket via the writer's own "
+            "bucket expression. tests/test_scan.py pins values vs plain "
+            "filter, the open sets, and the delta-bucket soundness rules; "
+            "oracle scan_pruned value-hashes the result.",
+            formatted(sc),
         )
     )
 

@@ -1206,6 +1206,40 @@ def cmd_lookup(args) -> int:
     return 0
 
 
+def cmd_scan(args) -> int:
+    """Predicate-pruned read: ``scan --where`` evaluates the predicate's
+    conjunctive terms against the manifest zone maps and opens only the
+    files that can hold matching rows (bucket prune on full-key equality,
+    file prune on any stats column). Prints matching rows as JSON lines
+    plus a files-opened/files-total summary on stderr — the operational
+    needle-query path at scale."""
+    from sqoop_spark.lake import LakeTable
+
+    if not LakeTable.exists(args.path):
+        raise SystemExit(f"scan: no lake table at {args.path}")
+    t = LakeTable(_session(args), args.path)
+    df = t.scan(args.where, version=args.version)
+    if args.columns:
+        df = df.select(*[c.strip() for c in args.columns.split(",")])
+    if args.limit:
+        df = df.limit(args.limit)
+    opened = len(df.inputFiles())
+    rows = df.collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(
+        json.dumps(
+            {
+                "matched": len(rows),
+                "files_opened": opened,
+                "files_total": len(t.manifest(args.version)["files"]),
+            }
+        ),
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_wap(args) -> int:
     """Write-audit-publish flow over a lake table (Iceberg's wap.id /
     cherrypick): ``stage`` writes a parquet batch as an invisible staged
@@ -1558,6 +1592,20 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("--version", type=int, default=None,
                     help="time-travel: look up in this snapshot")
     lk.set_defaults(fn=cmd_lookup)
+
+    scn = sub.add_parser("scan", help="predicate-pruned read: manifest "
+                                      "zone-map file skip + full-key "
+                                      "bucket prune, rows as JSON lines")
+    scn.add_argument("--path", required=True, help="lake table")
+    scn.add_argument("--where", required=True,
+                     help="SQL predicate; conjunctive comparisons prune "
+                          "files via the manifest zone maps (fail-open)")
+    scn.add_argument("--columns", default=None,
+                     help="comma-separated projection")
+    scn.add_argument("--limit", type=int, default=None)
+    scn.add_argument("--version", type=int, default=None,
+                     help="time-travel: scan this snapshot")
+    scn.set_defaults(fn=cmd_scan)
 
     wp = sub.add_parser("wap", help="write-audit-publish: stage a batch as "
                                     "an invisible commit, audit the "

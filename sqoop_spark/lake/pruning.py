@@ -1,0 +1,178 @@
+"""Manifest-level predicate pruning for :meth:`LakeTable.scan`.
+
+Extracts *prunable terms* from a SQL ``WHERE`` string — simple
+``column OP literal`` comparisons joined by top-level ``AND`` — and
+evaluates each file entry's recorded zone maps against them, so a
+filtered read skips whole files before Spark lists a single path. This
+is the Iceberg manifest-bounds prune: Sqoop has no analog (its WHERE
+clauses push to the source database, ``tool/ImportTool.java``); here the
+lake table IS the source, so the manifest plays the role of the
+database's index.
+
+Everything is **fail-open**: a term the parser cannot prove is a plain
+conjunctive comparison contributes no pruning; a top-level ``OR`` (or
+``NOT``) disables pruning entirely; a type mismatch between the literal
+and the recorded bound skips that term; a file with no stat for the
+column is always kept. The predicate is ALWAYS re-applied in-plan, so
+pruning can only ever skip files that provably hold no matching row —
+never change results.
+"""
+
+from __future__ import annotations
+
+import re
+
+# A prunable term: (column, op, values) where op is one of
+# '=' '<' '<=' '>' '>=' 'in' and values is a 1+-element list of Python
+# literals (str / int / float).
+Term = tuple[str, str, list]
+
+_IDENT = r"(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+_NUM = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_STR = r"'(?:[^']|'')*'"
+_LIT = rf"(?:{_NUM}|{_STR})"
+_CMP = re.compile(
+    rf"^\s*({_IDENT})\s*(=|==|<=|>=|<|>)\s*({_LIT})\s*$"
+)
+_CMP_REV = re.compile(
+    rf"^\s*({_LIT})\s*(=|==|<=|>=|<|>)\s*({_IDENT})\s*$"
+)
+_IN = re.compile(
+    rf"^\s*({_IDENT})\s+in\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_LIT_RE = re.compile(_LIT)
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
+
+
+def _unident(s: str) -> str:
+    return s[1:-1] if s.startswith("`") else s
+
+
+def _unlit(s: str):
+    if s.startswith("'"):
+        return s[1:-1].replace("''", "'")
+    try:
+        if re.fullmatch(r"-?\d+", s):
+            return int(s)
+        return float(s)
+    except ValueError:  # pragma: no cover — regex guarantees numeric
+        return None
+
+
+def split_conjuncts(where: str) -> list[str] | None:
+    """Top-level ``AND`` split, respecting parentheses and single-quoted
+    strings. Returns None — *no pruning* — when a top-level ``OR`` or
+    ``NOT`` is present (the conjunct list would not be a sound upper
+    bound on the predicate then). A ``BETWEEN``'s inner ``AND`` does get
+    split; the fragments simply fail term-parsing and contribute no
+    pruning (fail-open, never wrong: a genuine top-level conjunct after
+    it still parses on its own)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    i, n = 0, len(where)
+    while i < n:
+        ch = where[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if where[j] == "'":
+                    if j + 1 < n and where[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(where[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and ch.isalpha():
+            m = re.match(r"[A-Za-z_]+", where[i:])
+            word = m.group(0)
+            prev = where[i - 1] if i > 0 else " "
+            boundary = not (prev.isalnum() or prev in "_`")
+            if boundary and word.upper() == "AND":
+                parts.append("".join(buf))
+                buf = []
+                i += len(word)
+                continue
+            if boundary and word.upper() in ("OR", "NOT"):
+                return None
+            buf.append(word)
+            i += len(word)
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def parse_terms(where: str) -> list[Term]:
+    """The prunable terms of ``where`` — possibly empty. Sound but not
+    complete: every returned term is implied by the predicate; terms the
+    parser cannot prove are silently dropped."""
+    parts = split_conjuncts(where)
+    if parts is None:
+        return []
+    terms: list[Term] = []
+    for p in parts:
+        m = _CMP.match(p)
+        if m:
+            col, op, lit = m.group(1), m.group(2), m.group(3)
+            terms.append((_unident(col), "=" if op == "==" else op, [_unlit(lit)]))
+            continue
+        m = _CMP_REV.match(p)
+        if m:
+            lit, op, col = m.group(1), m.group(2), m.group(3)
+            op = _FLIP[op]
+            terms.append((_unident(col), "=" if op == "==" else op, [_unlit(lit)]))
+            continue
+        m = _IN.match(p)
+        if m:
+            col, lits = m.group(1), m.group(2)
+            vals = [_unlit(x) for x in _LIT_RE.findall(lits)]
+            terms.append((_unident(col), "in", vals))
+    return [t for t in terms if all(v is not None for v in t[2])]
+
+
+def _comparable(v, bound) -> bool:
+    num = (int, float)
+    if isinstance(v, bool) or isinstance(bound, bool):
+        return False
+    if isinstance(v, num) and isinstance(bound, num):
+        return True
+    return isinstance(v, str) and isinstance(bound, str)
+
+
+def entry_excluded(stats: dict | None, terms: list[Term]) -> bool:
+    """True iff some term PROVES the file holds no matching row — the
+    recorded ``[min, max]`` is disjoint from the term's value set. NULL
+    rows never satisfy a comparison, so excluding on non-null bounds is
+    sound regardless of the file's null count."""
+    if not stats:
+        return False
+    for col, op, vals in terms:
+        st = stats.get(col)
+        if not st:
+            continue
+        mn, mx = st
+        if not all(_comparable(v, mn) and _comparable(v, mx) for v in vals):
+            continue
+        v = vals[0]
+        if op == "=" and (v < mn or v > mx):
+            return True
+        if op == "in" and all(x < mn or x > mx for x in vals):
+            return True
+        if op == ">" and mx <= v:
+            return True
+        if op == ">=" and mx < v:
+            return True
+        if op == "<" and mn >= v:
+            return True
+        if op == "<=" and mn > v:
+            return True
+    return False

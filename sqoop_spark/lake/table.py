@@ -544,6 +544,81 @@ class LakeTable:
             pred = pred & (F.col(c) == typed_lit(v, schema[c].dataType))
         return self._state_of_entries(pruned, version).filter(pred)
 
+    def scan(self, where, version: int | None = None) -> DataFrame:
+        """Predicate-pruned logical read: ``read().filter(where)`` with
+        manifest-level file and bucket skipping derived from the predicate
+        BEFORE any path is listed — the Iceberg manifest-bounds prune,
+        generalizing :meth:`read_since` (order-column ranges) and
+        :meth:`lookup` (full-key equality) to arbitrary conjunctive
+        comparisons. At 100 TB the driver decides from a few KB of
+        manifest which of millions of files a needle query touches; the
+        executors never see the rest.
+
+        Three prunes, each fail-open (see lake/pruning.py — an
+        unparseable term, a top-level OR/NOT, a missing stat or a type
+        mismatch simply prunes nothing; the predicate is always
+        re-applied in-plan, so pruning can only skip provably-empty
+        files, never change results):
+
+        - **bucket**: equality terms covering EVERY key column hash to
+          one bucket via the writer's own bucket expression;
+        - **file**: a plain (delta-free) bucket's entries drop when a
+          term's value set is disjoint from the file's recorded
+          ``[min, max]`` (any stats column — key, order, or
+          ``stats_columns``/clustered extras);
+        - **delta bucket**: a bucket holding unmerged MoR deltas resolves
+          WHOLE or drops WHOLE — per-file pruning is unsound there for
+          non-key columns (a delta row's values say nothing about the
+          base row it deletes or supersedes, and payload-free tombstones
+          carry NULL non-keys), so only KEY-column terms may exclude it,
+          and only when every one of the bucket's files is excluded
+          (delete/upsert markers carry their keys, the same soundness
+          argument as ``lookup``).
+
+        ``where`` may be a Column (no pruning — Spark still pushes the
+        filter to the parquet readers) or a SQL string (pruned)."""
+        from sqoop_spark.lake.pruning import entry_excluded, parse_terms
+
+        pred = F.expr(where) if isinstance(where, str) else where
+        entries = self._entries(version)
+        terms = parse_terms(where) if isinstance(where, str) else []
+        if terms:
+            eq = {c: v[0] for c, op, v in terms if op == "="}
+            if all(c in eq and eq[c] is not None for c in self.key_columns):
+                try:
+                    b = self.bucket_of({c: eq[c] for c in self.key_columns})
+                except Exception:
+                    b = None  # uncastable literal — fail open
+                if b is not None:
+                    entries = [e for e in entries if e["bucket"] == b]
+        rb = self._resolve_buckets(entries)
+        key_terms = [t for t in terms if t[0] in self.key_columns]
+        plain = [
+            e
+            for e in entries
+            if e["bucket"] not in rb
+            and not e.get("tombstone")
+            and not entry_excluded(e.get("stats"), terms)
+        ]
+        out = self._read_files(plain, version).filter(pred)
+        if rb:
+            by_bucket: dict[int, list[dict]] = {}
+            for e in entries:
+                if e["bucket"] in rb:
+                    by_bucket.setdefault(e["bucket"], []).append(e)
+            keep = {
+                b
+                for b, es in by_bucket.items()
+                if not all(
+                    entry_excluded(e.get("stats"), key_terms) for e in es
+                )
+            }
+            if keep:
+                out = out.unionByName(
+                    self._read_state(version, keep).filter(pred)
+                )
+        return out
+
     def _read_state(self, version: int | None, buckets: set[int] | None) -> DataFrame:
         """Logical state of ``version`` restricted to ``buckets`` (all when
         None), MoR deltas resolved at BUCKET granularity: only buckets in
