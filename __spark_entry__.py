@@ -1058,6 +1058,38 @@ def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(df, tmp)
 
 
+def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order rewrite (``rewrite_clustered(column=[...])`` — Delta's
+    OPTIMIZE ZORDER BY) proven through the 2-D needle query it exists
+    for: the staged replay table is re-clustered by the Morton
+    interleave of ``(lang, event_seq)``, so every file's zone maps are
+    narrow in BOTH columns at once, and
+    ``scan("lang = 'go' AND event_seq <= cut")`` prunes files on the
+    string-equality dimension as well as the range dimension (asserted
+    in-query) — the scan_pruned query's lang term failed open; here it
+    prunes. DuckDB recomputes newest-wins under the same WHERE."""
+    from sqoop_spark.lake import LakeTable
+
+    src, _j = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_zorder_")
+    dst = f"{tmp}/repos"
+    shutil.copytree(src.path, dst)
+    t = LakeTable.load(spark, dst)
+    per_bucket = t.total_rows() // t.num_buckets
+    t.rewrite_clustered(
+        column=["lang", "event_seq"], target_rows=max(50, per_bucket // 4)
+    )
+    cut = _events(spark, sf_dir).agg(
+        F.floor(F.max("event_seq") * 3 / 5).cast("long")
+    ).collect()[0][0]
+    df = t.scan(f"lang = 'go' and event_seq <= {cut}")
+    n_files = len(t.manifest()["files"])
+    assert len(df.inputFiles()) < n_files, (
+        "z-ordered zone maps must prune on the lang equality too"
+    )
+    return _materialize_and_clean(df, tmp)
+
+
 def q_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once → exactly-once ingest: every 7th event is redelivered
     after the whole original stream (reconnect replay); first_arrival_dedup
@@ -1390,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": q_point_lookup,
         "incremental_read_clustered": q_incremental_read_clustered,
         "scan_pruned": q_scan_pruned,
+        "scan_zorder": q_scan_zorder,
         "time_travel": q_time_travel,
         "snapshot_history": q_snapshot_history,
         "dedup_first_arrival": q_dedup_first_arrival,
@@ -2098,6 +2131,17 @@ ranked AS (
 cut AS (SELECT CAST(floor(max(event_seq) * 4 / 5) AS BIGINT) AS x FROM ce)
 SELECT {TABLE_COLS} FROM ranked, cut
 WHERE rn = 1 AND op <> 'delete' AND event_seq > x AND lang = 'python'
+""",
+        "scan_zorder": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+  FROM ce
+),
+cut AS (SELECT CAST(floor(max(event_seq) * 3 / 5) AS BIGINT) AS x FROM ce)
+SELECT {TABLE_COLS} FROM ranked, cut
+WHERE rn = 1 AND op <> 'delete' AND lang = 'go' AND event_seq <= x
 """,
         "time_travel": f"""
 WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),

@@ -1347,8 +1347,15 @@ def cmd_maintain(args) -> int:
         }
     if args.cluster_by is not None:
         before = t.current_version()
+        cluster_cols = [
+            c.strip() for c in (args.cluster_by or "").split(",") if c.strip()
+        ]
         m = t.rewrite_clustered(
-            column=args.cluster_by or None,
+            column=(
+                cluster_cols
+                if len(cluster_cols) > 1
+                else (cluster_cols[0] if cluster_cols else None)
+            ),
             target_rows=args.cluster_file_rows,
             retry_recompute=2,
         )
@@ -1671,11 +1678,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "(one atomic snapshot; resolves MoR deltas and "
                          "carries tombstones into their new buckets)")
     mt.add_argument("--cluster-by", nargs="?", const="", default=None,
-                    metavar="COLUMN",
+                    metavar="COLUMN[,COLUMN...]",
                     help="sort-order rewrite: cluster each bucket's base "
                          "files by COLUMN (default: the order column) so "
                          "zone maps prune incremental reads on merge "
-                         "tables; delta-holding buckets are skipped "
+                         "tables; 2-3 comma-separated columns switch to a "
+                         "Z-ORDER rewrite (Morton-interleaved sort — zone "
+                         "maps stay narrow on every listed column at "
+                         "once); delta-holding buckets are skipped "
                          "(compact first)")
     mt.add_argument("--cluster-file-rows", type=int, default=1_000_000,
                     metavar="TARGET_ROWS",

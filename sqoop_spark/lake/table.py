@@ -1323,6 +1323,15 @@ class LakeTable:
         order column) — Iceberg's sort-order rewrite, the maintenance pass
         that gives MERGE tables zone-map pruning on the incremental axis.
 
+        ``column`` may also be a LIST of 2-3 columns: the rewrite then
+        sorts by their Morton-interleaved z-value (Delta's ``OPTIMIZE
+        ZORDER BY``; see lake/zorder.py) and records zone maps for EVERY
+        listed column, so :meth:`scan` prunes files on any of them at
+        once — the multi-dimensional needle-query layout. The z-value is
+        a sort key only (one bounded range probe, one SQL expression);
+        nothing extra is written, and clustering quality affects pruning
+        effectiveness, never soundness.
+
         On a hash-bucketed merge table every CoW rewrite spans the full
         order range (each bucket holds the newest row of EVERY key it has
         ever seen), so ``read_since`` zone maps cannot skip its files: an
@@ -1364,9 +1373,18 @@ class LakeTable:
         self, column, target_rows, buckets, batch_id
     ) -> dict:
         base = self.manifest()
-        col = column or self.order_column
-        if col not in self.schema().fieldNames():
-            raise EngineError(f"rewrite_clustered: no column {col!r} in table schema")
+        zcols: list[str] | None = None
+        if isinstance(column, (list, tuple)):
+            if len(column) == 1:
+                column = column[0]
+            else:
+                zcols = list(column)
+        col = (zcols[0] if zcols else column) or self.order_column
+        for c in zcols or [col]:
+            if c not in self.schema().fieldNames():
+                raise EngineError(
+                    f"rewrite_clustered: no column {c!r} in table schema"
+                )
         skip = self._resolve_buckets(base["files"])
         chosen = set(buckets) if buckets is not None else None
         target: dict[int, list[dict]] = {}
@@ -1381,11 +1399,24 @@ class LakeTable:
             return base
         rewritten = [e for files in target.values() for e in files]
         df = self._read_files(rewritten, version=base["version"])
+        if zcols:
+            # Z-order: sort by the Morton-interleaved bins of ALL the
+            # columns (lake/zorder.py) — sequential files then cover a
+            # narrow range of EVERY listed column, and scan() prunes on
+            # any of them. The z-value is a sort key only; nothing extra
+            # is written.
+            from sqoop_spark.lake.zorder import zvalue_column
+
+            sort_key = zvalue_column(df, zcols, self.schema())
+            stats_cols = zcols
+        else:
+            sort_key = col
+            stats_cols = [col]
         entries = self._write_data_files(
             self._prepare_df(df),
-            sort_within=["_bucket", col],
+            sort_within=["_bucket", sort_key],
             max_records_per_file=target_rows,
-            extra_stats_cols=[col],
+            extra_stats_cols=stats_cols,
         )
         carried = [
             e
@@ -1397,7 +1428,8 @@ class LakeTable:
             carried + entries,
             batch_id,
             {
-                "cluster_column": col,
+                "cluster_column": zcols if zcols else col,
+                "zorder": bool(zcols),
                 "rewritten_files": len(rewritten),
                 "new_files": len(entries),
                 "buckets": len(target),

@@ -151,3 +151,83 @@ def test_cli_maintain_cluster(spark, scratch, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["cluster"]["cluster_column"] == "seq"
     assert out["cluster"]["new_files"] >= 6
+
+
+# ------------------------------------------------------------------ z-order
+
+
+def _zorder_table(spark, scratch, name, n=800):
+    """Two independent dimensions: seq = row index, v cycles through 20
+    string labels — a z-order on (seq, v) must keep BOTH zone maps
+    narrow per file."""
+    t, schema = _seq_table(spark, scratch, name, buckets=2)
+    t.append(spark.createDataFrame(
+        [(k, k, f"w{k % 20:02d}") for k in range(n)], schema
+    ))
+    return t
+
+
+def test_zorder_prunes_both_dimensions(spark, scratch):
+    t = _zorder_table(spark, scratch, "zo1")
+    before = {(r.k, r.seq, r.v) for r in t.read().collect()}
+    m = t.rewrite_clustered(column=["seq", "v"], target_rows=25)
+    assert m["summary"]["zorder"] is True
+    assert m["summary"]["cluster_column"] == ["seq", "v"]
+    assert {(r.k, r.seq, r.v) for r in t.read().collect()} == before
+    total = len(t.manifest()["files"])
+
+    hi = t.scan("seq >= 700")
+    assert len(hi.inputFiles()) < total, "seq zone maps must prune"
+    assert {r.seq for r in hi.collect()} == set(range(700, 800))
+
+    one_v = t.scan("v = 'w05'")
+    assert len(one_v.inputFiles()) < total, "v zone maps must prune too"
+    assert {r.k for r in one_v.collect()} == {k for k in range(800) if k % 20 == 5}
+
+    both = t.scan("seq < 100 and v = 'w03'")
+    assert len(both.inputFiles()) < total
+    assert {r.k for r in both.collect()} == {k for k in range(100) if k % 20 == 3}
+
+
+def test_zorder_single_element_list_is_plain_clustering(spark, scratch):
+    t = _zorder_table(spark, scratch, "zo2", n=100)
+    m = t.rewrite_clustered(column=["seq"], target_rows=25)
+    assert m["summary"]["zorder"] is False
+    assert m["summary"]["cluster_column"] == "seq"
+
+
+def test_zorder_argument_errors(spark, scratch):
+    t = _zorder_table(spark, scratch, "zo3", n=40)
+    with pytest.raises(EngineError, match="no column"):
+        t.rewrite_clustered(column=["seq", "nope"])
+    with pytest.raises(ValueError, match="2..3 columns"):
+        t.rewrite_clustered(column=["k", "seq", "v", "k"])
+
+
+def test_zvalue_ordering_properties(spark):
+    """The Morton value is monotone along each axis when the other is
+    fixed, and the string embedding preserves prefix order."""
+    from pyspark.sql import types as T2
+
+    from sqoop_spark.lake.zorder import value_sql, zvalue_column
+
+    schema = T2.StructType(
+        [T2.StructField("a", T2.LongType()), T2.StructField("b", T2.StringType())]
+    )
+    rows = [(x, w) for x in (0, 1000, 65000) for w in ("aa", "mm", "zz")]
+    df = spark.createDataFrame(rows, schema)
+    z = zvalue_column(df, ["a", "b"], schema)
+    got = {(r.a, r.b): r.z for r in df.select("a", "b", z.alias("z")).collect()}
+    for w in ("aa", "mm", "zz"):
+        assert got[(0, w)] < got[(1000, w)] < got[(65000, w)]
+    for x in (0, 1000, 65000):
+        assert got[(x, "aa")] < got[(x, "mm")] < got[(x, "zz")]
+    # string embedding is monotone in byte order
+    sql = value_sql("b", T2.StringType())
+    vals = [
+        r.v
+        for r in spark.createDataFrame([("abc",), ("abd",), ("b",)], ["b"])
+        .selectExpr(f"{sql} AS v")
+        .collect()
+    ]
+    assert vals[0] < vals[1] < vals[2]
