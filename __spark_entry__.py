@@ -1090,6 +1090,37 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(df, tmp)
 
 
+def q_scan_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sidecar pruning (``bloom_columns`` property +
+    ``LakeTable.scan``): ``content_sha`` is uniform hex, so every file's
+    ``[min, max]`` covers every probe and zone maps prune NOTHING — the
+    per-file bloom sidecar is what makes the find-by-fingerprint needle
+    query O(matching files). The staged replay is cloned, the property is
+    set via a metadata-only ``set_properties`` commit, one
+    ``rewrite_small_files`` pass backfills sidecars, and the scan for one
+    real fingerprint must open fewer files than the table holds (asserted
+    in-query). DuckDB reproduces the rows by joining newest-wins state to
+    the same deterministically-chosen fingerprint."""
+    from sqoop_spark.lake import LakeTable
+
+    src, _j = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_bloom_")
+    dst = f"{tmp}/repos"
+    shutil.copytree(src.path, dst)
+    t = LakeTable.load(spark, dst)
+    t.set_properties({"bloom_columns": "content_sha"})
+    t.rewrite_small_files(target_rows=10_000_000, min_files=1)
+    sha = (
+        t.read().orderBy("repo", "path").select("content_sha").first()[0]
+    )
+    df = t.scan(f"content_sha = '{sha}'")
+    n_files = len(t.manifest()["files"])
+    assert len(df.inputFiles()) < n_files, (
+        "bloom sidecars must prune files that provably lack the fingerprint"
+    )
+    return _materialize_and_clean(df, tmp)
+
+
 def q_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once → exactly-once ingest: every 7th event is redelivered
     after the whole original stream (reconnect replay); first_arrival_dedup
@@ -1423,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_read_clustered": q_incremental_read_clustered,
         "scan_pruned": q_scan_pruned,
         "scan_zorder": q_scan_zorder,
+        "scan_bloom": q_scan_bloom,
         "time_travel": q_time_travel,
         "snapshot_history": q_snapshot_history,
         "dedup_first_arrival": q_dedup_first_arrival,
@@ -2142,6 +2174,17 @@ ranked AS (
 cut AS (SELECT CAST(floor(max(event_seq) * 3 / 5) AS BIGINT) AS x FROM ce)
 SELECT {TABLE_COLS} FROM ranked, cut
 WHERE rn = 1 AND op <> 'delete' AND lang = 'go' AND event_seq <= x
+""",
+        "scan_bloom": f"""
+WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path ORDER BY event_seq DESC) AS rn
+  FROM ce
+),
+st AS (SELECT {TABLE_COLS} FROM ranked WHERE rn = 1 AND op <> 'delete'),
+k AS (SELECT content_sha AS sha FROM st ORDER BY repo, path LIMIT 1)
+SELECT st.* FROM st, k WHERE st.content_sha = k.sha
 """,
         "time_travel": f"""
 WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),

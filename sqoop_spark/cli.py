@@ -1370,6 +1370,17 @@ def cmd_maintain(args) -> int:
             if m["version"] != before
             else {"noop": True}
         )
+    if args.set_property:
+        updates = {}
+        for item in args.set_property:
+            k, eq, v = item.partition("=")
+            if not eq or not k.strip():
+                raise SystemExit(
+                    f"maintain: --set-property expects KEY=VALUE, got {item!r}"
+                )
+            updates[k.strip()] = v or None  # empty value deletes
+        m = t.set_properties(updates)
+        out["properties"] = m.get("properties", {})
     if args.expire_snapshots is not None:
         out["expire"] = t.expire_snapshots(keep_last=args.expire_snapshots)
     if args.remove_orphans is not None:
@@ -1380,7 +1391,7 @@ def cmd_maintain(args) -> int:
         raise SystemExit(
             "maintain: one of --compact/--rewrite-small-files/"
             "--cluster-by/--expire-snapshots/--remove-orphans/--rebucket/"
-            "--rollback required"
+            "--rollback/--set-property required"
         )
     print(json.dumps(out, default=str))
     return 0
@@ -1702,6 +1713,13 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="ROWS",
                     help="--auto: bin-pack buckets averaging under "
                          "ROWS/2 rows per base file")
+    mt.add_argument("--set-property", action="append", default=None,
+                    metavar="KEY=VALUE",
+                    help="metadata-only commit updating a table property "
+                         "(repeatable; empty value deletes) — e.g. "
+                         "bloom_columns=content_sha makes later writes "
+                         "build per-file bloom sidecars for equality "
+                         "pruning, stats_columns=a,b widens zone maps")
     mt.add_argument("--rollback", type=int, metavar="VERSION",
                     help="roll back to snapshot VERSION as a new "
                          "metadata-only commit (undone batch ids are "

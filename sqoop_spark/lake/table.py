@@ -338,6 +338,43 @@ class LakeTable:
             return [c.strip() for c in prop.split(",") if c.strip()]
         return [self.order_column]
 
+    def bloom_columns(self) -> list[str]:
+        """Columns that get a per-file bloom-filter sidecar on write (the
+        ``bloom_columns`` table property, comma-separated) — equality/IN
+        pruning for high-cardinality values zone maps can't help with
+        (lake/bloom.py). Empty by default: blooms cost a column re-read
+        per written file, so they are opt-in."""
+        prop = self.manifest().get("properties", {}).get("bloom_columns")
+        if not prop:
+            return []
+        return [c.strip() for c in prop.split(",") if c.strip()]
+
+    def set_properties(self, updates: dict, batch_id: int | None = None) -> dict:
+        """Metadata-only commit updating table properties (Iceberg
+        ``ALTER TABLE ... SET TBLPROPERTIES``): same files, same schema,
+        new properties dict. A value of None DELETES the property.
+        Changelog consumers skip the commit (its row diff is empty by
+        construction); subsequent WRITES honor the new properties —
+        e.g. setting ``bloom_columns`` makes every later rewrite/append
+        build sidecars, and a ``rewrite_small_files``/``compact``/
+        ``rewrite_clustered`` pass backfills them for existing data."""
+        base = self.manifest()
+        props = dict(base.get("properties", {}))
+        for k, v in updates.items():
+            if v is None:
+                props.pop(k, None)
+            else:
+                props[k] = v
+        return self._commit(
+            "set-properties",
+            base["files"],
+            batch_id,
+            {"properties_updated": sorted(updates)},
+            base.get("lineage"),
+            base=base,
+            properties=props,
+        )
+
     def _resolve_winners(self, df_with_op: DataFrame) -> DataFrame:
         """Newest event per key — ``_op`` retained (winning deletes kept).
 
@@ -538,7 +575,13 @@ class LakeTable:
                     return False
             return True
 
-        pruned = [e for e in entries if keep(e)]
+        bloom_cache: dict[str, dict | None] = {}
+        key_terms = [(c, "=", [v]) for c, v in key.items()]
+        pruned = [
+            e
+            for e in entries
+            if keep(e) and not self._bloom_excludes(e, key_terms, bloom_cache)
+        ]
         pred = F.lit(True)
         for c, v in key.items():
             pred = pred & (F.col(c) == typed_lit(v, schema[c].dataType))
@@ -593,12 +636,14 @@ class LakeTable:
                     entries = [e for e in entries if e["bucket"] == b]
         rb = self._resolve_buckets(entries)
         key_terms = [t for t in terms if t[0] in self.key_columns]
+        bloom_cache: dict[str, dict | None] = {}
         plain = [
             e
             for e in entries
             if e["bucket"] not in rb
             and not e.get("tombstone")
             and not entry_excluded(e.get("stats"), terms)
+            and not self._bloom_excludes(e, terms, bloom_cache)
         ]
         out = self._read_files(plain, version).filter(pred)
         if rb:
@@ -618,6 +663,37 @@ class LakeTable:
                     self._read_state(version, keep).filter(pred)
                 )
         return out
+
+    def _bloom_excludes(
+        self, e: dict, terms: list, cache: dict[str, dict | None]
+    ) -> bool:
+        """True iff some equality/IN term's values are ALL provably absent
+        from the file per its bloom sidecar (lake/bloom.py). Fail-open on
+        everything: no sidecar recorded, unreadable sidecar, stale canary
+        (pandas hash drift), no descriptor for the column, uncoercible
+        probe literal."""
+        rel = e.get("bloom")
+        if not rel:
+            return False
+        eq = [(c, vals) for c, op, vals in terms if op in ("=", "in")]
+        if not eq:
+            return False
+        if rel not in cache:
+            from sqoop_spark.lake.bloom import read_sidecar
+
+            cache[rel] = read_sidecar(os.path.join(self.path, rel))
+        cols = cache[rel]
+        if not cols:
+            return False
+        from sqoop_spark.lake.bloom import might_contain
+
+        for c, vals in eq:
+            desc = cols.get(c)
+            if not desc:
+                continue
+            if not any(might_contain(desc, v) for v in vals):
+                return True
+        return False
 
     def _read_state(self, version: int | None, buckets: set[int] | None) -> DataFrame:
         """Logical state of ``version`` restricted to ``buckets`` (all when
@@ -947,10 +1023,26 @@ class LakeTable:
             if c not in wanted_stats:
                 wanted_stats.append(c)
         stat_cols = [c for c in wanted_stats if c in id_by_name]
+        # Bloom sidecars: opt-in (bloom_columns property), base files only
+        # (delta/tombstone files are never per-file-pruned in scan). Costs
+        # one columnar re-read of the listed columns per written file —
+        # the same post-write metadata pass as the footer stats, inside
+        # the same thread pool.
+        bloom_cols: list[tuple[str, str]] = []
+        if not delta and not tombstone:
+            from sqoop_spark.lake.bloom import column_kind
+
+            schema = self.schema()
+            for c in self.bloom_columns():
+                if c in id_by_name and c in schema.fieldNames():
+                    kind = column_kind(schema[c].dataType)
+                    if kind:
+                        bloom_cols.append((c, kind))
 
         def entry(item: tuple[str, int]) -> dict:
             full, bucket = item
-            meta = pq.ParquetFile(full).metadata
+            pf = pq.ParquetFile(full)
+            meta = pf.metadata
             e = {
                 "path": os.path.relpath(full, self.path),
                 "bucket": bucket,
@@ -964,6 +1056,20 @@ class LakeTable:
                 e["delta"] = True
             if tombstone:
                 e["tombstone"] = True
+            if bloom_cols and meta.num_rows:
+                from sqoop_spark.lake import bloom as B
+
+                tbl = pf.read(columns=[c for c, _ in bloom_cols])
+                descs = {}
+                for c, kind in bloom_cols:
+                    d = B.build_column(
+                        tbl.column(c).to_pandas(), kind
+                    )
+                    if d:
+                        descs[c] = d
+                if descs:
+                    B.write_sidecar(full + ".bloom", descs)
+                    e["bloom"] = os.path.relpath(full + ".bloom", self.path)
             return e
 
         if not found:
@@ -995,6 +1101,7 @@ class LakeTable:
         schema_update: dict | None = None,
         num_buckets: int | None = None,
         base: dict | None = None,
+        properties: dict | None = None,
     ) -> dict:
         # ``base`` pins the manifest this commit was computed against: the
         # new version is base.version+1, so ANY commit that landed after
@@ -1017,7 +1124,9 @@ class LakeTable:
             "schema": schema_update or m["schema"],
             "key_columns": m["key_columns"],
             "num_buckets": num_buckets or m["num_buckets"],
-            "properties": m.get("properties", {}),
+            "properties": (
+                properties if properties is not None else m.get("properties", {})
+            ),
             "files": files,
             "summary": {**(summary or {}), "batch_id": batch_id},
             "fenced_batch_ids": fenced,
@@ -2623,11 +2732,17 @@ class LakeTable:
         for v in range(1, current + 1):
             mpath = os.path.join(self.manifest_dir, f"v{v:08d}.json")
             if v in self._manifest_cache or os.path.exists(mpath):
-                referenced.update(e["path"] for e in self.manifest(v)["files"])
+                for e in self.manifest(v)["files"]:
+                    referenced.add(e["path"])
+                    if e.get("bloom"):
+                        referenced.add(e["bloom"])
         # Staged (write-audit-publish) commits reference their files from
         # OUTSIDE the version namespace — unpublished, but not orphans.
         for st in self.staged():
-            referenced.update(e["path"] for e in st["entries"])
+            for e in st["entries"]:
+                referenced.add(e["path"])
+                if e.get("bloom"):
+                    referenced.add(e["bloom"])
         now = _t.time()
         removed = 0
         for root, _dirs, files in os.walk(self.data_dir):
