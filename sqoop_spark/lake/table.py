@@ -303,7 +303,25 @@ class LakeTable:
             id_to_written = {int(k): v for k, v in group[0]["columns"].items()}
             is_delta = bool(group[0].get("delta"))
             paths = [os.path.join(self.path, e["path"]) for e in group]
-            raw = self.spark.read.parquet(*paths)
+            # Explicit read schema under the WRITTEN names with the CURRENT
+            # declared types: dropped columns never leave the footer, and a
+            # widened column (widen_column int->long / float->double) reads
+            # promoted by the parquet reader itself — files written before
+            # and after the promotion coexist in one group (the signature
+            # tracks names, not widths), where footer inference would pick
+            # whichever generation it sampled first and crash on the other.
+            read_fields = [
+                T.StructField(
+                    id_to_written[f["id"]], _type_from_ddl(f["type"])
+                )
+                for f in current
+                if f["id"] in id_to_written
+            ]
+            if is_delta:
+                read_fields.append(T.StructField("_op", T.StringType()))
+            raw = self.spark.read.schema(T.StructType(read_fields)).parquet(
+                *paths
+            )
             proj = []
             for f in current:
                 written = id_to_written.get(f["id"])
@@ -2887,11 +2905,72 @@ class LakeTable:
         )
 
     def change_column_type(self, name: str, type_ddl: str, batch_id: int | None = None):
-        """Type changes are rejected — mutual-read incompatible.
+        """Arbitrary type changes are rejected — mutual-read incompatible.
 
         Mirrors the reference's exact failure for incompatible parquet merge
-        schemas (HadoopParquetMergeJobConfigurator.java:118-121).
+        schemas (HadoopParquetMergeJobConfigurator.java:118-121). The
+        Iceberg-safe promotions are available as :meth:`widen_column`.
         """
         raise IncompatibleSchemaError(
             "Cannot merge files, the Avro schemas are not compatible."
+        )
+
+    def widen_column(
+        self, name: str, type_ddl: str, batch_id: int | None = None
+    ) -> dict:
+        """Safe type promotion (Iceberg schema evolution: ``int -> long``,
+        ``float -> double``, decimal precision growth at fixed scale) as a
+        metadata-only commit — no data rewrite: the read path already
+        casts every written column to the CURRENT declared type via the
+        column-id mapping, and a widening cast is total (never truncates,
+        never throws under ANSI). Existing zone-map stats stay valid (the
+        JSON bound encoding is width-agnostic) and bloom sidecars keep
+        matching (int kinds normalize to int64, float kinds to float64 on
+        both build and probe sides).
+
+        KEY columns are refused: ``xxhash64`` hashes by physical width,
+        so widening a key would silently re-route every row's bucket —
+        that migration is :meth:`rebucket`-grade, not metadata."""
+        m = self.manifest()
+        field = next(
+            (f for f in m["schema"]["fields"] if f["name"] == name), None
+        )
+        if field is None:
+            raise IncompatibleSchemaError(f"no such column: {name}")
+        if name in m["key_columns"]:
+            raise IncompatibleSchemaError(
+                f"cannot widen key column {name}: bucket hashing is "
+                "width-dependent (use rebucket-grade migration)"
+            )
+        old_t = _type_from_ddl(field["type"])
+        new_t = _type_from_ddl(type_ddl)
+        ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ok = False
+        if isinstance(old_t, ints) and isinstance(new_t, ints):
+            ok = ints.index(type(old_t)) < ints.index(type(new_t))
+        elif isinstance(old_t, T.FloatType) and isinstance(new_t, T.DoubleType):
+            ok = True
+        elif isinstance(old_t, T.DecimalType) and isinstance(new_t, T.DecimalType):
+            ok = (
+                new_t.scale == old_t.scale
+                and new_t.precision > old_t.precision
+            )
+        if not ok:
+            raise IncompatibleSchemaError(
+                f"widen_column: {field['type']} -> {type_ddl} is not a safe "
+                "promotion (allowed: int-family widening, float -> double, "
+                "decimal precision growth at fixed scale)"
+            )
+        fields = [
+            {**f, "type": type_ddl} if f["name"] == name else f
+            for f in m["schema"]["fields"]
+        ]
+        schema = {"fields": fields, "next_id": m["schema"]["next_id"]}
+        return self._commit(
+            "evolve",
+            m["files"],
+            batch_id,
+            {"ddl": f"widen {name} {field['type']} -> {type_ddl}"},
+            None,
+            schema,
         )

@@ -1292,3 +1292,83 @@ def test_empty_batch_fence_rebases_on_race(spark, scratch):
     assert stats.rows_in == 0 and stats.buckets_touched == 0
     assert 77 in LakeTable.load(spark, t1.path).fenced_batch_ids()
     assert {r.k for r in t2.read().collect()} == {1, 2}
+
+
+def test_widen_column_int_to_long_and_float_to_double(spark, scratch):
+    """Safe promotion is metadata-only: old int32/float32 files read back
+    as long/double via the column-id cast; post-widen appends carry the
+    wide type; both generations union in one read."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("x", T.FloatType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(scratch, "widen1"), schema, ["k"], num_buckets=2
+    )
+    t.append(spark.createDataFrame([("a", 1, 1.5), ("b", 2, 2.5)], schema))
+    files_before = {e["path"] for e in t.manifest()["files"]}
+    m = t.widen_column("n", "bigint")
+    assert m["operation"] == "evolve"
+    t.widen_column("x", "double")
+    # no data rewrite
+    assert {e["path"] for e in t.manifest()["files"]} == files_before
+    got = t.read()
+    assert dict(got.dtypes)["n"] == "bigint"
+    assert dict(got.dtypes)["x"] == "double"
+    # a post-widen append with values only the wide type can hold
+    t.append(
+        spark.createDataFrame(
+            [("c", 2**40, 1e300)], t.schema()
+        )
+    )
+    vals = {r.k: (r.n, r.x) for r in t.read().collect()}
+    assert vals["a"] == (1, 1.5) and vals["c"] == (2**40, 1e300)
+
+
+def test_widen_column_refusals(spark, scratch):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(scratch, "widen2"), schema, ["k"], num_buckets=2
+    )
+    with pytest.raises(IncompatibleSchemaError, match="key column"):
+        t.widen_column("k", "string")
+    with pytest.raises(IncompatibleSchemaError, match="not a safe promotion"):
+        t.widen_column("n", "int")  # narrowing
+    with pytest.raises(IncompatibleSchemaError, match="not a safe promotion"):
+        t.widen_column("s", "bigint")  # cross-family
+    with pytest.raises(IncompatibleSchemaError, match="no such column"):
+        t.widen_column("zz", "bigint")
+
+
+def test_widen_column_decimal_precision(spark, scratch):
+    from decimal import Decimal
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("d", T.DecimalType(10, 2)),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(scratch, "widen3"), schema, ["k"], num_buckets=1
+    )
+    t.append(spark.createDataFrame([("a", Decimal("1.25"))], schema))
+    t.widen_column("d", "decimal(20,2)")
+    t.append(
+        spark.createDataFrame(
+            [("b", Decimal("123456789012345678.99"))], t.schema()
+        )
+    )
+    got = sorted((r.k, str(r.d)) for r in t.read().collect())
+    assert got == [("a", "1.25"), ("b", "123456789012345678.99")]
+    with pytest.raises(IncompatibleSchemaError, match="not a safe promotion"):
+        t.widen_column("d", "decimal(22,3)")  # scale change
