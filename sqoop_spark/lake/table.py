@@ -932,6 +932,8 @@ class LakeTable:
             for v in range(1, (self.current_version() or 0) + 1)
             if self.manifest_exists(v)
         )
+        _bloom_raw = m.get("properties", {}).get("bloom_columns") or ""
+        _bloom_prop = [c.strip() for c in _bloom_raw.split(",") if c.strip()]
         return {
             "path": self.path,
             "version": m["version"],
@@ -951,6 +953,16 @@ class LakeTable:
             "delta_buckets": len(backlog),
             "max_bucket_delta_files": max(backlog.values(), default=0),
             "zone_map_coverage": coverage,
+            # share of BASE files carrying a bloom sidecar (what equality
+            # probes on bloom_columns can prune); a rewrite backfills it
+            "bloom_columns": _bloom_prop,
+            "bloom_coverage": (
+                round(
+                    sum(1 for e in base if e.get("bloom")) / len(base), 3
+                )
+                if base and _bloom_prop
+                else None
+            ),
             "fenced_batches": len(m["fenced_batch_ids"]),
             "tags": self.tags(),
             "staged_wap_ids": [s["wap_id"] for s in self.staged()],

@@ -200,3 +200,12 @@ def test_set_property_cli(spark, scratch):
     assert r.returncode == 0, r.stderr
     out = json.loads(r.stdout)
     assert out["properties"]["stats_columns"] == "seq,k"
+
+
+def test_describe_reports_bloom_coverage(spark, scratch):
+    t = _bloom_table(spark, scratch, "bl7", n=60)
+    d = t.describe()
+    assert d["bloom_columns"] == ["sha", "n"]
+    assert d["bloom_coverage"] == 1.0
+    t.set_properties({"bloom_columns": None})
+    assert t.describe()["bloom_coverage"] is None
