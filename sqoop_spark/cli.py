@@ -1221,7 +1221,7 @@ def cmd_scan(args) -> int:
     df = t.scan(args.where, version=args.version)
     if args.columns:
         df = df.select(*[c.strip() for c in args.columns.split(",")])
-    if args.limit:
+    if args.limit is not None:
         df = df.limit(args.limit)
     opened = len(df.inputFiles())
     rows = df.collect()

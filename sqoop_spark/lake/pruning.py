@@ -139,6 +139,77 @@ def parse_terms(where: str) -> list[Term]:
     return [t for t in terms if all(v is not None for v in t[2])]
 
 
+def canon_timestamp_literal(v) -> str | None:
+    """A string literal probing a TIMESTAMP column, canonicalized to the
+    manifest's stored bound encoding (``datetime.isoformat()``, ``T``
+    separator), or None — *fail open* — when it cannot be proven
+    order-equivalent: non-string literals, unparseable forms, and
+    timezone-aware literals (the stored bounds are naive, so mixing
+    offsets breaks lexicographic==chronological)."""
+    import datetime as dt
+
+    if not isinstance(v, str):
+        return None
+    try:
+        parsed = dt.datetime.fromisoformat(v)
+    except ValueError:
+        return None
+    if parsed.utcoffset() is not None:
+        return None
+    return parsed.isoformat()
+
+
+def canon_date_literal(v) -> str | None:
+    """A string literal probing a DATE column, canonicalized to the
+    stored ``date.isoformat()`` form (Spark casts the literal to date,
+    truncating any time part), or None to fail open."""
+    import datetime as dt
+
+    if not isinstance(v, str):
+        return None
+    try:
+        parsed = dt.datetime.fromisoformat(v)
+    except ValueError:
+        return None
+    if parsed.utcoffset() is not None:
+        return None
+    return parsed.date().isoformat()
+
+
+def normalize_terms(terms: list[Term], schema) -> list[Term]:
+    """Type-aware literal canonicalization against the table's Spark
+    schema — the fix for comparing SQL string literals to zone-map bounds
+    whose on-manifest encoding differs from the literal's spelling.
+    Timestamp/date column bounds are stored as ``isoformat()`` strings
+    ('T' separator), so a probe like ``ts <= '2024-06-15 23:00:00'``
+    (which Spark happily casts and matches) would raw-string-compare
+    wrongly (' ' sorts before 'T'). Each such literal is re-spelled in
+    the stored form; a term whose literal cannot be canonicalized (or a
+    numeric literal probing a temporal column) is DROPPED — fail open,
+    the predicate is always re-applied in-plan. Terms probing columns
+    absent from the schema pass through untouched (no stat will exist
+    for them anyway)."""
+    from pyspark.sql import types as T
+
+    out: list[Term] = []
+    for col, op, vals in terms:
+        try:
+            dtype = schema[col].dataType
+        except Exception:
+            out.append((col, op, vals))
+            continue
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            canon = [canon_timestamp_literal(v) for v in vals]
+        elif isinstance(dtype, T.DateType):
+            canon = [canon_date_literal(v) for v in vals]
+        else:
+            out.append((col, op, vals))
+            continue
+        if all(c is not None for c in canon):
+            out.append((col, op, canon))
+    return out
+
+
 def _comparable(v, bound) -> bool:
     num = (int, float)
     if isinstance(v, bool) or isinstance(bound, bool):

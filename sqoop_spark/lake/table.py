@@ -580,12 +580,27 @@ class LakeTable:
         bucket = self.bucket_of(key)
         entries = self._entries(version, buckets={bucket})
 
+        from pyspark.sql import types as _T
+
+        from sqoop_spark.lake.pruning import (
+            canon_date_literal,
+            canon_timestamp_literal,
+        )
+
         def keep(e: dict) -> bool:
             for c, v in key.items():
                 st = (e.get("stats") or {}).get(c)
                 if not st:
                     continue  # fail-open
-                jv = _json_stat(v)
+                dt_c = schema[c].dataType
+                if isinstance(v, str) and isinstance(
+                    dt_c, (_T.TimestampType, _T.TimestampNTZType)
+                ):
+                    jv = canon_timestamp_literal(v)
+                elif isinstance(v, str) and isinstance(dt_c, _T.DateType):
+                    jv = canon_date_literal(v)
+                else:
+                    jv = _json_stat(v)
                 if jv is None:
                     continue
                 mn, mx = st
@@ -638,11 +653,19 @@ class LakeTable:
 
         ``where`` may be a Column (no pruning — Spark still pushes the
         filter to the parquet readers) or a SQL string (pruned)."""
-        from sqoop_spark.lake.pruning import entry_excluded, parse_terms
+        from sqoop_spark.lake.pruning import (
+            entry_excluded,
+            normalize_terms,
+            parse_terms,
+        )
 
         pred = F.expr(where) if isinstance(where, str) else where
         entries = self._entries(version)
-        terms = parse_terms(where) if isinstance(where, str) else []
+        terms = (
+            normalize_terms(parse_terms(where), self.schema(version))
+            if isinstance(where, str)
+            else []
+        )
         if terms:
             eq = {c: v[0] for c, op, v in terms if op == "="}
             if all(c in eq and eq[c] is not None for c in self.key_columns):
@@ -1015,6 +1038,12 @@ class LakeTable:
         m = self.manifest()
         rel_dir = os.path.join("data", uuid.uuid4().hex)
         out_dir = os.path.join(self.path, rel_dir)
+        # Regardless of who built the session: INT96 timestamps carry no
+        # parquet footer statistics (timestamp zone maps would silently
+        # never record) and are forbidden by the Iceberg spec.
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         writer = (
             df.repartition(F.col("_bucket"))
             .sortWithinPartitions(*(sort_within or self.key_columns))
@@ -1092,8 +1121,14 @@ class LakeTable:
                 tbl = pf.read(columns=[c for c, _ in bloom_cols])
                 descs = {}
                 for c, kind in bloom_cols:
+                    # drop_null on the Arrow side: a nullable int64 column
+                    # converted straight to pandas becomes float64 (NaN
+                    # for NULL), rounding values above 2^53 before hashing
+                    # while the probe hashes the exact int64 — a bloom
+                    # FALSE NEGATIVE that silently skips live files. With
+                    # nulls gone the conversion keeps an exact int64 dtype.
                     d = B.build_column(
-                        tbl.column(c).to_pandas(), kind
+                        tbl.column(c).drop_null().to_pandas(), kind
                     )
                     if d:
                         descs[c] = d
@@ -2883,7 +2918,13 @@ class LakeTable:
         ]
         schema = {"fields": fields, "next_id": m["schema"]["next_id"] + 1}
         return self._commit(
-            "evolve", m["files"], batch_id, {"ddl": f"add {name} {type_ddl}"}, None, schema
+            "evolve",
+            m["files"],
+            batch_id,
+            {"ddl": f"add {name} {type_ddl}"},
+            None,
+            schema,
+            base=m,
         )
 
     def rename_column(self, old: str, new: str, batch_id: int | None = None) -> dict:
@@ -2901,7 +2942,13 @@ class LakeTable:
         ]
         schema = {"fields": fields, "next_id": m["schema"]["next_id"]}
         return self._commit(
-            "evolve", m["files"], batch_id, {"ddl": f"rename {old} -> {new}"}, None, schema
+            "evolve",
+            m["files"],
+            batch_id,
+            {"ddl": f"rename {old} -> {new}"},
+            None,
+            schema,
+            base=m,
         )
 
     def drop_column(self, name: str, batch_id: int | None = None) -> dict:
@@ -2913,7 +2960,13 @@ class LakeTable:
             raise IncompatibleSchemaError(f"no such column: {name}")
         schema = {"fields": fields, "next_id": m["schema"]["next_id"]}
         return self._commit(
-            "evolve", m["files"], batch_id, {"ddl": f"drop {name}"}, None, schema
+            "evolve",
+            m["files"],
+            batch_id,
+            {"ddl": f"drop {name}"},
+            None,
+            schema,
+            base=m,
         )
 
     def change_column_type(self, name: str, type_ddl: str, batch_id: int | None = None):
@@ -2985,4 +3038,5 @@ class LakeTable:
             {"ddl": f"widen {name} {field['type']} -> {type_ddl}"},
             None,
             schema,
+            base=m,
         )

@@ -47,6 +47,10 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # int64 micros, not INT96: INT96 timestamps carry NO parquet
+        # footer statistics (zone maps / manifest bounds stay empty for
+        # every timestamp column) and are forbidden by the Iceberg spec.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
     if hive_metastore:

@@ -123,6 +123,30 @@ def test_scan_bloom_int_column_and_null_soundness(spark, scratch):
     assert t.scan("n = 76.5").count() == 0
 
 
+def test_bloom_nullable_bigint_above_2_53_no_false_negative(spark, scratch):
+    """A nullable int64 column converted straight to pandas becomes
+    float64 (NaN for NULL), rounding values above 2^53 at build time while
+    the probe hashes the exact int64 — a false NEGATIVE that silently
+    skips the file holding the value. The build drops NULLs on the Arrow
+    side so the dtype stays exact int64."""
+    big = (1 << 60) + 1  # not representable in float64
+    t = LakeTable.create(
+        spark,
+        os.path.join(scratch, "blbig"),
+        SCHEMA,
+        ["k"],
+        num_buckets=1,
+        properties={"order_column": "seq", "bloom_columns": "n"},
+    )
+    rows = [(k, k, _sha(k), None if k % 3 == 0 else big + k) for k in range(60)]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    t.rewrite_clustered(column="k", target_rows=100)
+    assert all(e.get("bloom") for e in t.manifest()["files"])
+    hit = t.scan(f"n = {big + 1}")  # k=1's value, co-filed with NULLs
+    assert [r.k for r in hit.collect()] == [1]
+    assert len(hit.inputFiles()) > 0
+
+
 def test_set_properties_enables_blooms_later(spark, scratch):
     t = LakeTable.create(
         spark,

@@ -1372,3 +1372,42 @@ def test_widen_column_decimal_precision(spark, scratch):
     assert got == [("a", "1.25"), ("b", "123456789012345678.99")]
     with pytest.raises(IncompatibleSchemaError, match="not a safe promotion"):
         t.widen_column("d", "decimal(22,3)")  # scale change
+
+
+def test_evolve_commits_pin_their_base(spark, scratch, monkeypatch):
+    """widen/add/rename/drop read the manifest once and carry its file
+    list into the commit; a commit that lands in between must surface as
+    ConcurrentCommitError — pre-fix the stale carry silently dropped the
+    interleaved writer's files (lost update)."""
+    from sqoop_spark.errors import ConcurrentCommitError
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("n", T.IntegerType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(scratch, "widenrace"), schema, ["k"], num_buckets=1
+    )
+    t.append(spark.createDataFrame([(1, 10)], schema))
+    stale = t.manifest()
+    t.append(spark.createDataFrame([(2, 20)], schema))  # the racing writer
+
+    real = LakeTable.manifest
+    calls = {"n": 0}
+
+    def first_read_is_stale(self, version=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stale
+        return real(self, version)
+
+    monkeypatch.setattr(LakeTable, "manifest", first_read_is_stale)
+    with pytest.raises(ConcurrentCommitError):
+        t.widen_column("n", "bigint")
+    monkeypatch.setattr(LakeTable, "manifest", real)
+    # nothing was lost and the widen still works against fresh state
+    assert {r.k for r in t.read().collect()} == {1, 2}
+    t.widen_column("n", "bigint")
+    assert t.schema()["n"].dataType.simpleString() == "bigint"

@@ -208,3 +208,95 @@ def test_scan_cli(spark, scratch):
     summary = json.loads(r.stderr.strip().splitlines()[-1])
     assert summary["matched"] == 2
     assert summary["files_opened"] < summary["files_total"]
+    # --limit 0 means ZERO rows, not "no limit"
+    r0 = subprocess.run(
+        [sys.executable, "-m", "sqoop_spark.cli", "scan",
+         "--path", t.path, "--where", "k >= 10 and k < 12",
+         "--limit", "0"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r0.returncode == 0, r0.stderr
+    assert r0.stdout.strip() == ""
+    assert json.loads(r0.stderr.strip().splitlines()[-1])["matched"] == 0
+
+
+# ------------------------------------------------- temporal literal terms
+
+
+def test_normalize_terms_temporal_literals():
+    from sqoop_spark.lake.pruning import normalize_terms
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("k", T.LongType()),
+        ]
+    )
+    # space-separator form re-spelled to the stored isoformat ('T') form
+    assert normalize_terms([("ts", "<=", ["2024-06-15 23:00:00"])], schema) == [
+        ("ts", "<=", ["2024-06-15T23:00:00"])
+    ]
+    # date-only literal probing a timestamp gets midnight, like Spark's cast
+    assert normalize_terms([("ts", ">", ["2024-06-15"])], schema) == [
+        ("ts", ">", ["2024-06-15T00:00:00"])
+    ]
+    # timestamp-shaped literal probing a DATE truncates to the date
+    assert normalize_terms([("d", "=", ["2024-06-15 23:00:00"])], schema) == [
+        ("d", "=", ["2024-06-15"])
+    ]
+    # unparseable / tz-aware / numeric literals on temporal columns: DROPPED
+    assert normalize_terms([("ts", "=", ["not a time"])], schema) == []
+    assert normalize_terms([("ts", "=", ["2024-06-15T00:00:00+02:00"])], schema) == []
+    assert normalize_terms([("d", "=", [20240615])], schema) == []
+    # string/numeric columns and unknown columns pass through untouched
+    assert normalize_terms(
+        [("v", "=", ["2024-06-15 23:00:00"]), ("k", ">", [5]), ("zz", "=", [1])],
+        schema,
+    ) == [("v", "=", ["2024-06-15 23:00:00"]), ("k", ">", [5]), ("zz", "=", [1])]
+
+
+def test_scan_timestamp_string_literal_sound(spark, scratch):
+    """A predicate like ``ts <= '2024-06-05 23:00:00'`` (space separator,
+    which Spark casts and matches) must not string-compare against the
+    stored isoformat bounds ('T' sorts above ' '): pre-fix the file whose
+    min shares the literal's date was wrongly excluded and its matching
+    rows silently dropped."""
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(scratch, "scts"),
+        schema,
+        ["k"],
+        num_buckets=1,
+        properties={"order_column": "seq", "stats_columns": "seq,ts"},
+    )
+    base = dt.datetime(2024, 6, 1)
+    t.append(
+        spark.createDataFrame(
+            [(k, k, base + dt.timedelta(hours=k)) for k in range(200)], schema
+        )
+    )
+    t.rewrite_clustered(column="ts", target_rows=25)
+    for where in [
+        "ts <= '2024-06-05 23:00:00'",
+        "ts >= '2024-06-03 00:00:00' and ts < '2024-06-04 12:00:00'",
+        "ts = '2024-06-01 05:00:00'",
+        "ts > '2024-06-08'",
+    ]:
+        got = sorted(r.k for r in t.scan(where).collect())
+        want = sorted(r.k for r in t.read().filter(where).collect())
+        assert got == want, where
+        assert got, where  # every predicate above matches something
+    # and the canonicalized literal still PRUNES on the clustered axis
+    total = len(t.manifest()["files"])
+    assert len(t.scan("ts < '2024-06-02 00:00:00'").inputFiles()) < total
