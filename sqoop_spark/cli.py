@@ -1387,11 +1387,16 @@ def cmd_maintain(args) -> int:
         out["orphans"] = t.remove_orphan_files(
             older_than_seconds=args.remove_orphans
         )
+    if args.export_iceberg is not None:
+        from sqoop_spark.lake.iceberg_export import export_iceberg
+
+        md = export_iceberg(t, args.export_iceberg or None)
+        out["iceberg"] = {"metadata": md}
     if not out:
         raise SystemExit(
             "maintain: one of --compact/--rewrite-small-files/"
             "--cluster-by/--expire-snapshots/--remove-orphans/--rebucket/"
-            "--rollback/--set-property required"
+            "--rollback/--set-property/--export-iceberg required"
         )
     print(json.dumps(out, default=str))
     return 0
@@ -1720,6 +1725,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "bloom_columns=content_sha makes later writes "
                          "build per-file bloom sidecars for equality "
                          "pruning, stats_columns=a,b widens zone maps")
+    mt.add_argument("--export-iceberg", nargs="?", const="", default=None,
+                    metavar="DEST",
+                    help="write Iceberg v2 metadata (metadata.json + Avro "
+                         "manifests) for the current snapshot under DEST "
+                         "(default <table>/iceberg) pointing at the "
+                         "existing parquet — makes the snapshot readable "
+                         "by any Iceberg engine; metadata-only, refuses "
+                         "unmerged MoR deltas (compact first)")
     mt.add_argument("--rollback", type=int, metavar="VERSION",
                     help="roll back to snapshot VERSION as a new "
                          "metadata-only commit (undone batch ids are "

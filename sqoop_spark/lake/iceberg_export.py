@@ -1,0 +1,509 @@
+"""Iceberg v2 metadata export: make a lake snapshot ecosystem-readable.
+
+The reference's outputs were always readable by the rest of the Hadoop
+ecosystem — plain HDFS files, Hive tables (``hive/TableDefWriter.java:119``),
+HCatalog (``mapreduce/hcat/SqoopHCatUtilities.java:85``). This engine's
+manifest format is engine-private JSON, so :func:`export_iceberg`
+materializes the current (or any time-travel) snapshot as genuine
+**Apache Iceberg v2 table metadata** — ``metadata.json`` + an Avro
+manifest list + an Avro manifest, all written against the public Iceberg
+Table Spec — pointing at the table's EXISTING parquet data files
+(metadata-only: zero bytes of data are copied). Any Iceberg reader
+(Spark+iceberg-runtime, Trino, DuckDB ``iceberg_scan``, pyiceberg) can
+then open the export.
+
+Layout (HadoopTables file-system catalog convention)::
+
+    <dest>/metadata/v1.metadata.json
+    <dest>/metadata/version-hint.text          ("1")
+    <dest>/metadata/snap-<id>-manifest-list.avro
+    <dest>/metadata/<uuid>-m0.avro
+
+Spec-compliance notes (Iceberg Table Spec, format-version 2):
+
+- data files are listed with required fields only (``content``,
+  ``file_path``, ``file_format``, ``partition``, ``record_count``,
+  ``file_size_in_bytes``); per-column bounds/counts are OPTIONAL in the
+  spec and omitted — readers scan every listed file, which is sound.
+- the table is exported UNPARTITIONED (``spec-id`` 0, no fields): the
+  engine's bucket layout hashes with ``xxhash64`` while Iceberg's
+  ``bucket[N]`` transform mandates murmur3, so declaring a bucket
+  partition spec would let readers prune files wrongly. Unpartitioned
+  metadata trades pruning for correctness.
+- timestamps are written by the engine as TIMESTAMP_MICROS int64 parquet
+  (never INT96, which Iceberg forbids — see session.py).
+- MoR state must be compacted first: Iceberg v2 delete files use
+  position/equality-delete semantics this engine's order-column
+  resolution does not map onto; :func:`export_iceberg` raises on
+  unmerged deltas instead of exporting a wrong state.
+
+This environment ships no Iceberg reader (pyspark 4.1.2 has no
+iceberg-runtime jar, DuckDB's iceberg extension cannot be downloaded), so
+the round-trip verification reads the export back through
+:func:`read_data_files` — a generic schema-driven Avro binary decoder
+(shared primitives with ``avro_container.py``, which is pytest-pinned
+against the Avro spec) — and value-hash-compares the files it lists
+against the live table (driver query ``iceberg_export_roundtrip``).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import time
+import uuid
+
+from sqoop_spark.avro_container import (
+    MAGIC,
+    SYNC_SIZE,
+    read_bytes,
+    read_long,
+    write_bytes,
+    write_long,
+)
+from sqoop_spark.errors import EngineError
+
+# ---------------------------------------------------------------------------
+# engine schema (DDL strings + column ids) -> Iceberg schema JSON
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES = {
+    "boolean": "boolean",
+    "int": "int",
+    "integer": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "bigint": "long",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def _iceberg_type(ddl: str) -> str:
+    t = ddl.strip().lower()
+    if t in _PRIMITIVES:
+        return _PRIMITIVES[t]
+    if t.startswith("decimal"):
+        inner = t[t.index("(") + 1 : t.index(")")]
+        p, s = (int(x) for x in inner.split(","))
+        return f"decimal({p}, {s})"
+    raise EngineError(
+        f"export_iceberg: no Iceberg mapping for column type {ddl!r}"
+    )
+
+
+def iceberg_schema(manifest: dict) -> dict:
+    """The engine schema as Iceberg schema JSON. Column ids carry over
+    verbatim (both systems use append-only field ids for evolution); key
+    columns are ``required`` (non-null by the engine's merge contract)
+    and become the identifier fields."""
+    keys = set(manifest["key_columns"])
+    fields = [
+        {
+            "id": f["id"],
+            "name": f["name"],
+            "required": f["name"] in keys,
+            "type": _iceberg_type(f["type"]),
+        }
+        for f in manifest["schema"]["fields"]
+    ]
+    key_ids = [
+        f["id"] for f in manifest["schema"]["fields"] if f["name"] in keys
+    ]
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "identifier-field-ids": key_ids,
+        "fields": fields,
+    }
+
+
+# ---------------------------------------------------------------------------
+# minimal Avro writer/reader driven by a schema dict
+#
+# avro_container.py encodes flat nullable-union records (the Sqoop export
+# shape); Iceberg manifests need nested records, so this pair handles the
+# general record/union/array/map/primitive subset of the Avro spec. The
+# binary primitives (zigzag varints, length-prefixed bytes, container
+# framing) are the ones already pinned by tests/test_avro.py.
+# ---------------------------------------------------------------------------
+
+
+def _encode(schema, value, out: io.BytesIO) -> None:
+    if isinstance(schema, list):  # union: branch index + value
+        branch = 0 if value is None else next(
+            i for i, b in enumerate(schema) if b != "null"
+        )
+        write_long(out, branch)
+        if value is not None:
+            _encode(schema[branch], value, out)
+        return
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            for f in schema["fields"]:
+                _encode(f["type"], value[f["name"]], out)
+            return
+        if t == "array":
+            if value:
+                write_long(out, len(value))
+                for v in value:
+                    _encode(schema["items"], v, out)
+            write_long(out, 0)
+            return
+        if t == "map":
+            if value:
+                write_long(out, len(value))
+                for k, v in value.items():
+                    write_bytes(out, k.encode())
+                    _encode(schema["values"], v, out)
+            write_long(out, 0)
+            return
+        raise EngineError(f"avro encode: unsupported complex type {t!r}")
+    if schema in ("int", "long"):
+        write_long(out, value)
+    elif schema == "string":
+        write_bytes(out, value.encode())
+    elif schema == "bytes":
+        write_bytes(out, bytes(value))
+    elif schema == "boolean":
+        out.write(b"\x01" if value else b"\x00")
+    elif schema == "float":
+        out.write(struct.pack("<f", value))
+    elif schema == "double":
+        out.write(struct.pack("<d", value))
+    else:
+        raise EngineError(f"avro encode: unsupported type {schema!r}")
+
+
+def _decode(schema, buf: io.BytesIO):
+    if isinstance(schema, list):
+        branch = schema[read_long(buf)]
+        return None if branch == "null" else _decode(branch, buf)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return {f["name"]: _decode(f["type"], buf) for f in schema["fields"]}
+        if t == "array":
+            out = []
+            while True:
+                n = read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    read_long(buf)  # block byte size, unused
+                    n = -n
+                for _ in range(n):
+                    out.append(_decode(schema["items"], buf))
+        if t == "map":
+            out = {}
+            while True:
+                n = read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    read_long(buf)
+                    n = -n
+                for _ in range(n):
+                    k = read_bytes(buf).decode()
+                    out[k] = _decode(schema["values"], buf)
+        raise EngineError(f"avro decode: unsupported complex type {t!r}")
+    if schema in ("int", "long"):
+        return read_long(buf)
+    if schema == "string":
+        return read_bytes(buf).decode()
+    if schema == "bytes":
+        return read_bytes(buf)
+    if schema == "boolean":
+        return buf.read(1) == b"\x01"
+    if schema == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if schema == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    raise EngineError(f"avro decode: unsupported type {schema!r}")
+
+
+def _write_avro(path: str, schema: dict, records: list[dict], meta: dict) -> int:
+    """One single-block Avro object container file; returns byte length."""
+    import hashlib
+
+    sync = hashlib.sha256(json.dumps(schema).encode()).digest()[:SYNC_SIZE]
+    body = io.BytesIO()
+    for r in records:
+        _encode(schema, r, body)
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        m = io.BytesIO()
+        pairs = {"avro.schema": json.dumps(schema), "avro.codec": "null", **meta}
+        write_long(m, len(pairs))
+        for k, v in pairs.items():
+            write_bytes(m, k.encode())
+            write_bytes(m, v.encode() if isinstance(v, str) else v)
+        write_long(m, 0)
+        fh.write(m.getvalue())
+        fh.write(sync)
+        blk = io.BytesIO()
+        write_long(blk, len(records))
+        write_long(blk, len(body.getvalue()))
+        fh.write(blk.getvalue())
+        fh.write(body.getvalue())
+        fh.write(sync)
+    return os.path.getsize(path)
+
+
+def read_avro(path: str) -> tuple[dict, dict, list[dict]]:
+    """(schema, file-metadata, records) of a container written by any
+    spec-conformant writer of the record/union/array/map subset."""
+    with open(path, "rb") as fh:
+        if fh.read(4) != MAGIC:
+            raise EngineError(f"{path}: not an Avro object container file")
+        meta: dict[str, bytes] = {}
+        while True:
+            n = read_long(fh)
+            if n == 0:
+                break
+            if n < 0:
+                read_long(fh)
+                n = -n
+            for _ in range(n):
+                k = read_bytes(fh).decode()
+                meta[k] = read_bytes(fh)
+        schema = json.loads(meta["avro.schema"])
+        if meta.get("avro.codec", b"null") not in (b"null", b""):
+            raise EngineError(f"{path}: unsupported codec for metadata read")
+        sync = fh.read(SYNC_SIZE)
+        records: list[dict] = []
+        while True:
+            first = fh.read(1)
+            if not first:
+                break
+            fh.seek(-1, 1)
+            count = read_long(fh)
+            size = read_long(fh)
+            buf = io.BytesIO(fh.read(size))
+            if fh.read(SYNC_SIZE) != sync:
+                raise EngineError(f"{path}: sync marker mismatch")
+            for _ in range(count):
+                records.append(_decode(schema, buf))
+        return schema, meta, records
+
+
+# ---------------------------------------------------------------------------
+# Iceberg manifest schemas (Table Spec, "Manifests" / "Manifest Lists"
+# tables; field ids from the spec are carried as field-id properties)
+# ---------------------------------------------------------------------------
+
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+# ---------------------------------------------------------------------------
+# export + readback
+# ---------------------------------------------------------------------------
+
+
+def export_iceberg(table, dest: str | None = None, version: int | None = None) -> str:
+    """Write Iceberg v2 metadata for ``table``'s snapshot at ``version``
+    (default: current) under ``dest`` (default: ``<table>/iceberg``).
+    Returns the path of the written ``metadata.json``. Metadata-only: the
+    manifest points at the table's existing parquet files by absolute
+    path."""
+    m = table.manifest(version)
+    dest = dest or os.path.join(table.path, "iceberg")
+    entries = [e for e in m["files"] if not e.get("tombstone")]
+    if any(e.get("delta") for e in entries):
+        raise EngineError(
+            "export_iceberg: snapshot has unmerged MoR deltas — Iceberg v2 "
+            "delete-file semantics do not express order-column resolution; "
+            "run compact() first"
+        )
+    meta_dir = os.path.join(dest, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    snapshot_id = int(m["version"]) + 1  # any stable positive id
+    seq = 1
+    now_ms = int(time.time() * 1000)
+
+    # manifest file: one entry per live data file
+    records = []
+    total_rows = 0
+    for e in entries:
+        full = os.path.join(table.path, e["path"])
+        records.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,  # DATA
+                    "file_path": os.path.abspath(full),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": int(e["rows"]),
+                    "file_size_in_bytes": os.path.getsize(full),
+                },
+            }
+        )
+        total_rows += int(e["rows"])
+    schema_json = json.dumps(iceberg_schema(m))
+    manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    mlen = _write_avro(
+        manifest_path,
+        _MANIFEST_ENTRY_SCHEMA,
+        records,
+        {
+            "schema": schema_json,
+            "schema-id": "0",
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+
+    # manifest list: one manifest
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    _write_avro(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": os.path.abspath(manifest_path),
+                "manifest_length": mlen,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(records),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        {"format-version": "2", "snapshot-id": str(snapshot_id)},
+    )
+
+    doc = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table.path)),
+        "location": os.path.abspath(dest),
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": max(
+            f["id"] for f in m["schema"]["fields"]
+        ),
+        "current-schema-id": 0,
+        "schemas": [json.loads(schema_json)],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": dict(m.get("properties") or {}),
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "manifest-list": os.path.abspath(mlist_path),
+                "summary": {
+                    "operation": "append",
+                    "added-data-files": str(len(records)),
+                    "added-records": str(total_rows),
+                },
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ],
+        "metadata-log": [],
+    }
+    md_path = os.path.join(meta_dir, "v1.metadata.json")
+    with open(md_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return md_path
+
+
+def read_data_files(metadata_json_path: str) -> list[dict]:
+    """Resolve an exported table to its data files the way an Iceberg
+    reader does: metadata.json → current snapshot → manifest list →
+    manifest entries. Returns the ``data_file`` dicts of live entries."""
+    with open(metadata_json_path) as f:
+        doc = json.load(f)
+    snap = next(
+        s
+        for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    _, _, manifests = read_avro(snap["manifest-list"])
+    files: list[dict] = []
+    for mf in manifests:
+        _, _, entries = read_avro(mf["manifest_path"])
+        for e in entries:
+            if e["status"] != 2:  # not DELETED
+                files.append(e["data_file"])
+    return files

@@ -3040,3 +3040,13 @@ class LakeTable:
             schema,
             base=m,
         )
+
+    def export_iceberg(
+        self, dest: str | None = None, version: int | None = None
+    ) -> str:
+        """Materialize this snapshot as Apache Iceberg v2 table metadata
+        (metadata-only — points at the existing parquet); returns the
+        written ``metadata.json`` path. See lake/iceberg_export.py."""
+        from sqoop_spark.lake.iceberg_export import export_iceberg
+
+        return export_iceberg(self, dest, version)
