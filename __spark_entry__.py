@@ -1179,6 +1179,29 @@ def q_scan_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(df.inputFiles()) < n_files, (
         "bloom sidecars must prune files that provably lack the fingerprint"
     )
+    # r5: the backlogged-compactor shape — an unmerged MoR delta lands
+    # (key-column bloom sidecar written for the delta file), a point probe
+    # of an absent key still opens ZERO files, and the fingerprint scan
+    # resolves the delta bucket without changing its rows (the upserted
+    # key carries a different sha, so the oracle is unchanged)
+    from sqoop_spark.cdc.merge import merge_apply
+
+    ev_schema = t.read().schema
+    hi_seq = int(t.read().agg(F.max("event_seq")).collect()[0][0] or 0)
+    delta_row = spark.createDataFrame(
+        [("zzz/absent-repo", "zzz/path", "c0ffee", "xx", "x" * 8,
+          "f" * 64, hi_seq + 1, None, "upsert")],
+        T.StructType(ev_schema.fields + [T.StructField("op", T.StringType())]),
+    )
+    merge_apply(t, delta_row, batch_id=999, order_col="event_seq", strategy="mor")
+    assert any(
+        e.get("delta") and e.get("bloom") for e in t.manifest()["files"]
+    ), "delta files must carry key-column bloom sidecars"
+    miss = t.scan("repo = 'zz-no-such-repo' and path = 'zz-no-such-path'")
+    assert miss.count() == 0 and len(miss.inputFiles()) == 0, (
+        "absent-key point scan must open zero files even with a delta present"
+    )
+    df = t.scan(f"content_sha = '{sha}'")
     return _materialize_and_clean(df, tmp)
 
 

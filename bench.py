@@ -536,7 +536,7 @@ def main() -> None:
     results["ann_ivf_build_1m_k4096"] = ivf_lk["build_sec"]
     results["ann_ivf_query_1m_k4096"] = ivf_lk["query_sec"]
     streaming = streaming_bench(spark)
-    results["streaming_ingest_1m"] = streaming["wall_sec"]
+    results["streaming_ingest"] = streaming["wall_sec"]
     spark.stop()
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
@@ -613,7 +613,7 @@ def main() -> None:
                 "salted": skew["skew_hot_nolimit_salted"],
                 "default": skew["skew_hot_default"],
             },
-            "streaming_1m": {
+            "streaming": {
                 k: streaming.get(k)
                 for k in ("events_per_sec", "p50_batch_ms", "p95_batch_ms")
             },

@@ -692,11 +692,17 @@ class LakeTable:
             for e in entries:
                 if e["bucket"] in rb:
                     by_bucket.setdefault(e["bucket"], []).append(e)
+            # a delta bucket drops only when EVERY file is excluded by a
+            # KEY term — via zone maps or (for equality/IN probes) the
+            # per-file key blooms delta files now carry; both prunes are
+            # sound because markers carry their keys
             keep = {
                 b
                 for b, es in by_bucket.items()
                 if not all(
-                    entry_excluded(e.get("stats"), key_terms) for e in es
+                    entry_excluded(e.get("stats"), key_terms)
+                    or self._bloom_excludes(e, key_terms, bloom_cache)
+                    for e in es
                 )
             }
             if keep:
@@ -1082,17 +1088,23 @@ class LakeTable:
             if c not in wanted_stats:
                 wanted_stats.append(c)
         stat_cols = [c for c in wanted_stats if c in id_by_name]
-        # Bloom sidecars: opt-in (bloom_columns property), base files only
-        # (delta/tombstone files are never per-file-pruned in scan). Costs
-        # one columnar re-read of the listed columns per written file —
-        # the same post-write metadata pass as the footer stats, inside
-        # the same thread pool.
+        # Bloom sidecars: opt-in (bloom_columns property). Base files get
+        # the configured columns; DELTA files get the KEY columns instead —
+        # delta markers carry their keys, so a delta file whose key bloom
+        # excludes a probed key provably holds no marker for it and point
+        # reads (lookup / full-key scan) may skip it, the
+        # backlogged-compactor point-read shape. Non-key delta values say
+        # nothing about the base rows they delete/supersede, so only keys
+        # are bloomed there. Costs one columnar re-read of the listed
+        # columns per written file — the same post-write metadata pass as
+        # the footer stats, inside the same thread pool.
         bloom_cols: list[tuple[str, str]] = []
-        if not delta and not tombstone:
+        if not tombstone and self.bloom_columns():
             from sqoop_spark.lake.bloom import column_kind
 
             schema = self.schema()
-            for c in self.bloom_columns():
+            want = self.key_columns if delta else self.bloom_columns()
+            for c in want:
                 if c in id_by_name and c in schema.fieldNames():
                     kind = column_kind(schema[c].dataType)
                     if kind:

@@ -147,6 +147,63 @@ def test_bloom_nullable_bigint_above_2_53_no_false_negative(spark, scratch):
     assert len(hit.inputFiles()) > 0
 
 
+def test_delta_key_blooms_prune_point_reads(spark, scratch):
+    """Delta files carry KEY-column bloom sidecars: a point read may skip
+    a delta file whose bloom excludes the key (it provably holds no
+    marker for it) — the backlogged-compactor point-read shape. Probes of
+    keys the delta DOES hold must still resolve through it."""
+    from pyspark.sql import types as TT
+
+    batch_schema = TT.StructType(
+        SCHEMA.fields + [TT.StructField("op", TT.StringType())]
+    )
+    from sqoop_spark.cdc.merge import merge_apply
+
+    t = LakeTable.create(
+        spark,
+        os.path.join(scratch, "bldelta"),
+        SCHEMA,
+        ["k"],
+        num_buckets=1,
+        properties={"order_column": "seq", "bloom_columns": "sha"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [(k, k, _sha(k), k) for k in range(200)], SCHEMA
+        )
+    )
+    merge_apply(
+        t,
+        spark.createDataFrame(
+            [(5, 9000, "newsha", 5, "upsert"), (7, 9001, None, None, "delete")],
+            batch_schema,
+        ),
+        batch_id=1,
+        order_col="seq",
+        strategy="mor",
+    )
+    m = t.manifest()
+    deltas = [e for e in m["files"] if e.get("delta")]
+    assert deltas and all(e.get("bloom") for e in deltas), (
+        "delta files must carry key-column bloom sidecars"
+    )
+    delta_paths = {os.path.join(t.path, e["path"]) for e in deltas}
+    # key NOT in the delta: the delta file's key bloom excludes it
+    hit = t.lookup({"k": 50})
+    assert [(r.k, r.sha) for r in hit.collect()] == [(50, _sha(50))]
+    assert not (
+        {f.removeprefix("file:") for f in hit.inputFiles()} & delta_paths
+    ), "point read opened a delta file its key bloom excludes"
+    # keys the delta DOES hold still resolve through it (no false negatives)
+    assert t.lookup({"k": 5}).collect()[0].sha == "newsha"
+    assert t.lookup({"k": 7}).count() == 0  # deleted via the delta
+    # full-key equality scan: a key no file holds drops the delta bucket
+    miss = t.scan("k = 100000")
+    assert miss.count() == 0 and len(miss.inputFiles()) == 0
+    # and a scan for the delta's key still sees the delta value
+    assert t.scan("k = 5").collect()[0].sha == "newsha"
+
+
 def test_set_properties_enables_blooms_later(spark, scratch):
     t = LakeTable.create(
         spark,
