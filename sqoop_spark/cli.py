@@ -67,12 +67,53 @@ PASSWORD_ENV_VAR = "SQOOP_SPARK_PASSWORD"
 
 def resolve_password(args) -> str | None:
     """Credential resolution for --connect paths, mirroring the reference's
-    precedence (tool/BaseSqoopTool.java:87 PASSWORD_PATH_ARG +
-    CredentialsUtil.fetchPassword): an explicit ``--password`` wins but
-    draws the reference's insecurity warning; ``--password-file`` reads the
-    secret from disk (one trailing newline stripped — the file-was-edited
-    footgun the reference documents), warning when the file is readable by
-    group/others; otherwise $SQOOP_SPARK_PASSWORD, else None."""
+    precedence (tool/BaseSqoopTool.java:87 PASSWORD_PATH_ARG /
+    PASSWORD_ALIAS_ARG + CredentialsUtil.fetchPassword): ``--password``,
+    ``--password-file`` and ``--password-alias`` are mutually exclusive
+    (the reference's applyCredentialsOptions error); an explicit
+    ``--password`` draws the insecurity warning; ``--password-file``
+    reads the secret from disk (one trailing newline stripped — the
+    file-was-edited footgun the reference documents), warning when the
+    file is readable by group/others; ``--password-alias`` fetches from
+    the credential-provider keystore (sqoop_spark/credentials.py — the
+    JCEKS CredentialProvider analog, provider path from
+    ``--credential-provider`` or $SQOOP_SPARK_CREDENTIAL_PROVIDER_PATH);
+    otherwise $SQOOP_SPARK_PASSWORD, else None."""
+    given = [
+        opt
+        for opt, val in (
+            ("--password", getattr(args, "password", None)),
+            ("--password-file", getattr(args, "password_file", None)),
+            ("--password-alias", getattr(args, "password_alias", None)),
+        )
+        if val
+    ]
+    if len(given) > 1:
+        raise SystemExit(
+            "Error: Only one of --password, --password-file or "
+            "--password-alias can be specified."
+        )
+    alias = getattr(args, "password_alias", None)
+    if alias:
+        from sqoop_spark.credentials import (
+            CredentialError,
+            fetch_credential,
+            resolve_provider_path,
+        )
+
+        provider = resolve_provider_path(
+            getattr(args, "credential_provider", None)
+        )
+        if not provider:
+            raise SystemExit(
+                "Error: --password-alias requires a credential provider "
+                "(--credential-provider PATH or "
+                "$SQOOP_SPARK_CREDENTIAL_PROVIDER_PATH)."
+            )
+        try:
+            return fetch_credential(provider, alias)
+        except CredentialError as e:
+            raise SystemExit(f"Error: {e}") from e
     pw = getattr(args, "password", None)
     if pw is not None:
         print(
@@ -1411,6 +1452,71 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_credential(args) -> int:
+    """Keystore management for ``--password-alias`` — the reference
+    defers to ``hadoop credential create <alias> -provider <path>``
+    (CredentialProviderHelper.java); this is the built-in equivalent over
+    sqoop_spark/credentials.py."""
+    from sqoop_spark.credentials import (
+        CredentialError,
+        create_credential,
+        delete_credential,
+        list_aliases,
+        resolve_provider_path,
+    )
+
+    provider = resolve_provider_path(args.provider)
+    if not provider:
+        raise SystemExit(
+            "credential: provider path required (--provider or "
+            "$SQOOP_SPARK_CREDENTIAL_PROVIDER_PATH)"
+        )
+    try:
+        if args.action == "list":
+            for a in list_aliases(provider):
+                print(a)
+            return 0
+        if not args.alias:
+            raise SystemExit(f"credential {args.action}: alias required")
+        if args.action == "delete":
+            delete_credential(provider, args.alias)
+            print(json.dumps({"deleted": args.alias}))
+            return 0
+        if args.value is not None:
+            print(
+                "WARNING: Setting the secret on the command-line is "
+                "insecure. Omit --value to read it from stdin.",
+                file=sys.stderr,
+            )
+            secret = args.value
+        else:
+            secret = sys.stdin.readline().rstrip("\n")
+        create_credential(
+            provider, args.alias, secret, overwrite=args.overwrite
+        )
+        print(json.dumps({"created": args.alias, "provider": provider}))
+        return 0
+    except CredentialError as e:
+        raise SystemExit(f"credential: {e}") from e
+
+
+def _add_credential_args(p) -> None:
+    """--password / --password-file / --password-alias (mutually
+    exclusive; see resolve_password) on every --connect-capable tool."""
+    p.add_argument("--password")
+    p.add_argument("--password-file",
+                   help="read the connection password from this file "
+                        "(chmod 600; one trailing newline stripped)")
+    p.add_argument("--password-alias",
+                   help="fetch the password from the credential-provider "
+                        "keystore under this alias (create with the "
+                        "'credential' tool — the Hadoop CredentialProvider "
+                        "/ JCEKS analog)")
+    p.add_argument("--credential-provider",
+                   help="credential keystore path (default "
+                        "$SQOOP_SPARK_CREDENTIAL_PROVIDER_PATH)")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sqoop-spark", description=__doc__)
     sub = p.add_subparsers(dest="tool", required=True)
@@ -1448,8 +1554,7 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--connect", help="jdbc:... URL — read over JDBC with "
                      "splitter-driven predicates instead of parquet/lake")
     imp.add_argument("--username")
-    imp.add_argument("--password")
-    imp.add_argument("--password-file", help="read the connection password from this file (chmod 600; one trailing newline stripped)")
+    _add_credential_args(imp)
     imp.add_argument("--jdbc-driver", help="JDBC driver class name")
     imp.add_argument("--as-sequencefile", action="store_true",
                      help="file-layout import: SequenceFile<LongWritable, "
@@ -1508,8 +1613,7 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--connect", help="jdbc:... URL — INSERT export through "
                      "Spark's JDBC writer")
     exp.add_argument("--username")
-    exp.add_argument("--password")
-    exp.add_argument("--password-file", help="read the connection password from this file (chmod 600; one trailing newline stripped)")
+    _add_credential_args(exp)
     exp.add_argument("--records-per-statement", type=int, default=100,
                      help="sqoop.export.records.per.statement analog")
     exp.add_argument("--since", metavar="WATERMARK",
@@ -1744,24 +1848,21 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--register", action="append", metavar="NAME=PATH")
     ev.add_argument("--connect", help="jdbc:... URL — run against the database")
     ev.add_argument("--username")
-    ev.add_argument("--password")
-    ev.add_argument("--password-file", help="read the connection password from this file (chmod 600; one trailing newline stripped)")
+    _add_credential_args(ev)
     ev.set_defaults(fn=cmd_eval)
 
     lt = sub.add_parser("list-tables")
     lt.add_argument("--path")
     lt.add_argument("--connect", help="jdbc:... URL (information_schema)")
     lt.add_argument("--username")
-    lt.add_argument("--password")
-    lt.add_argument("--password-file", help="read the connection password from this file (chmod 600; one trailing newline stripped)")
+    _add_credential_args(lt)
     lt.set_defaults(fn=cmd_list_tables)
 
     ld = sub.add_parser("list-databases")
     ld.add_argument("--path", help="lake root: dirs containing tables")
     ld.add_argument("--connect", help="jdbc:... URL (information_schema)")
     ld.add_argument("--username")
-    ld.add_argument("--password")
-    ld.add_argument("--password-file", help="read the connection password from this file (chmod 600; one trailing newline stripped)")
+    _add_credential_args(ld)
     ld.set_defaults(fn=cmd_list_databases)
 
     iat = sub.add_parser("import-all-tables")
@@ -1771,13 +1872,28 @@ def build_parser() -> argparse.ArgumentParser:
     iat.add_argument("--connect", help="jdbc:... URL — import every table "
                      "from the DB-API catalog (embedded databases)")
     iat.add_argument("--username")
-    iat.add_argument("--password")
-    iat.add_argument("--password-file", help="read the connection password from this file (chmod 600; one trailing newline stripped)")
+    _add_credential_args(iat)
     iat.set_defaults(fn=cmd_import_all_tables)
 
     bn = sub.add_parser("bench")
     bn.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     bn.set_defaults(fn=cmd_bench)
+
+    cr = sub.add_parser(
+        "credential",
+        help="manage the credential-provider keystore used by "
+             "--password-alias (the 'hadoop credential' analog)",
+    )
+    cr.add_argument("action", choices=["create", "list", "delete"])
+    cr.add_argument("alias", nargs="?")
+    cr.add_argument("--provider",
+                    help="keystore path (default "
+                         "$SQOOP_SPARK_CREDENTIAL_PROVIDER_PATH)")
+    cr.add_argument("--value",
+                    help="secret value (INSECURE on the command line — "
+                         "omit to read one line from stdin)")
+    cr.add_argument("--overwrite", action="store_true")
+    cr.set_defaults(fn=cmd_credential)
     return p
 
 
