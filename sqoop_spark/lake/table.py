@@ -471,8 +471,29 @@ class LakeTable:
         (check_col > last_value AND check_col <= MAX,
         reference tool/ImportTool.java:316-333). Entries with no stat for
         the column are kept (fail-open): absence of metadata must never
-        drop data."""
-        lo, hi = _json_stat(lower), _json_stat(upper)
+        drop data. String watermarks probing a timestamp/date column are
+        canonicalized to the stored isoformat bound encoding (same rule
+        as scan — see lake/pruning.py); an unparseable one contributes
+        no bound (fail-open) while the caller's in-plan typed filter
+        still applies it."""
+
+        def _bound(v):
+            if isinstance(v, str):
+                try:
+                    dtype = self.schema()[column].dataType
+                except Exception:
+                    return v
+                if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+                    from sqoop_spark.lake.pruning import canon_timestamp_literal
+
+                    return canon_timestamp_literal(v)
+                if isinstance(dtype, T.DateType):
+                    from sqoop_spark.lake.pruning import canon_date_literal
+
+                    return canon_date_literal(v)
+            return _json_stat(v)
+
+        lo, hi = _bound(lower), _bound(upper)
 
         def keep(e: dict) -> bool:
             st = (e.get("stats") or {}).get(column)

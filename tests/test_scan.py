@@ -300,3 +300,11 @@ def test_scan_timestamp_string_literal_sound(spark, scratch):
     # and the canonicalized literal still PRUNES on the clustered axis
     total = len(t.manifest()["files"])
     assert len(t.scan("ts < '2024-06-02 00:00:00'").inputFiles()) < total
+    # read_since with a STRING timestamp watermark: same canonicalization
+    # (prune_entries), same soundness + pruning
+    since = t.read_since("ts", "2024-06-05 23:00:00")
+    want = sorted(
+        r.k for r in t.read().filter("ts > '2024-06-05 23:00:00'").collect()
+    )
+    assert sorted(r.k for r in since.collect()) == want and want
+    assert len(since.inputFiles()) < total
