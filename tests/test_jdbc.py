@@ -653,11 +653,18 @@ def test_password_file_resolution(tmp_path, capsys, monkeypatch):
     assert resolve_password(args) == "s3cret"
     assert "chmod 600 recommended" in capsys.readouterr().err
 
+    # --password alone draws the insecurity warning
+    args_pw = build_parser().parse_args(["eval", "-e", "SELECT 1", "--password", "p"])
+    assert resolve_password(args_pw) == "p"
+    assert "insecure" in capsys.readouterr().err
+    # both at once: the reference's "but not both" error
+    # (BaseSqoopTool.applyCredentialsOptions), strengthened in round 5 to
+    # cover --password-alias as well
     args2 = build_parser().parse_args(
         ["eval", "-e", "SELECT 1", "--password", "p", "--password-file", str(pf)]
     )
-    assert resolve_password(args2) == "p"
-    assert "insecure" in capsys.readouterr().err
+    with pytest.raises(SystemExit, match="Only one of"):
+        resolve_password(args2)
 
     monkeypatch.setenv(PASSWORD_ENV_VAR, "envpw")
     args3 = build_parser().parse_args(["eval", "-e", "SELECT 1"])
