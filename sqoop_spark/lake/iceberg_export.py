@@ -459,7 +459,12 @@ def export_iceberg(table, dest: str | None = None, version: int | None = None) -
         "last-partition-id": 999,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": dict(m.get("properties") or {}),
+        # Iceberg properties are string -> string by spec
+        "properties": {
+            str(k): str(v)
+            for k, v in (m.get("properties") or {}).items()
+            if v is not None
+        },
         "current-snapshot-id": snapshot_id,
         "snapshots": [
             {

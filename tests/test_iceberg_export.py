@@ -86,7 +86,6 @@ def test_metadata_json_v2_structure(spark, scratch):
     assert names["k"]["required"] is True  # key column
     assert names["v"]["required"] is False
     assert names["ts"]["type"] == "timestamp"
-    assert doc["identifier-field-ids"] if "identifier-field-ids" in doc else True
     assert schema["identifier-field-ids"] == [names["k"]["id"]]
     assert doc["partition-specs"] == [{"spec-id": 0, "fields": []}]
     assert doc["sort-orders"] == [{"order-id": 0, "fields": []}]
