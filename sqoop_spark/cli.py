@@ -86,7 +86,10 @@ def resolve_password(args) -> str | None:
             ("--password-file", getattr(args, "password_file", None)),
             ("--password-alias", getattr(args, "password_alias", None)),
         )
-        if val
+        # `is not None`, not truthiness: an explicit empty --password ''
+        # must still conflict with --password-file/--password-alias
+        # rather than silently overriding them
+        if val is not None
     ]
     if len(given) > 1:
         raise SystemExit(

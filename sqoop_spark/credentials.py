@@ -66,16 +66,24 @@ def _keystream(key: bytes, n: int) -> bytes:
     return bytes(out[:n])
 
 
-def _seal(secret: str, store_password: str) -> dict:
+def _tag(key: bytes, alias: str, ct: bytes) -> bytes:
+    # the ALIAS is bound into the MAC: transplanting one alias's sealed
+    # blob onto another alias (a substitution attack the
+    # ciphertext-only tag would verify) fails the integrity check
+    return hmac.new(
+        key, b"tag|" + alias.encode() + b"|" + ct, hashlib.sha256
+    ).digest()
+
+
+def _seal(secret: str, store_password: str, alias: str) -> dict:
     salt = secrets.token_bytes(16)
     key = _derive_key(store_password, salt)
     pt = secret.encode()
     ct = bytes(a ^ b for a, b in zip(pt, _keystream(key, len(pt))))
-    tag = hmac.new(key, b"tag" + ct, hashlib.sha256).digest()
     return {
         "salt": base64.b64encode(salt).decode(),
         "cipher": base64.b64encode(ct).decode(),
-        "tag": base64.b64encode(tag).decode(),
+        "tag": base64.b64encode(_tag(key, alias, ct)).decode(),
     }
 
 
@@ -83,8 +91,9 @@ def _unseal(entry: dict, store_password: str, alias: str) -> str:
     salt = base64.b64decode(entry["salt"])
     ct = base64.b64decode(entry["cipher"])
     key = _derive_key(store_password, salt)
-    tag = hmac.new(key, b"tag" + ct, hashlib.sha256).digest()
-    if not hmac.compare_digest(tag, base64.b64decode(entry["tag"])):
+    if not hmac.compare_digest(
+        _tag(key, alias, ct), base64.b64decode(entry["tag"])
+    ):
         raise CredentialError(
             f"credential {alias!r}: integrity check failed — wrong store "
             "password or tampered keystore"
@@ -128,7 +137,9 @@ def create_credential(
         raise CredentialError(
             f"Credential {alias} already exists in {path} (use --overwrite)"
         )
-    doc["credentials"][alias] = _seal(secret, _store_password(store_password))
+    doc["credentials"][alias] = _seal(
+        secret, _store_password(store_password), alias
+    )
     _save(path, doc)
 
 

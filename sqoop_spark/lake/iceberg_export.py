@@ -82,7 +82,11 @@ _PRIMITIVES = {
     "string": "string",
     "binary": "binary",
     "date": "date",
-    "timestamp": "timestamp",
+    # Spark TimestampType is written as TIMESTAMP_MICROS with
+    # isAdjustedToUTC=true — Iceberg's 'timestamptz'. Declaring it
+    # 'timestamp' (zoneless) would make a spec-conformant reader reject
+    # the files or shift every instant by the session zone.
+    "timestamp": "timestamptz",
     "timestamp_ntz": "timestamp",
 }
 
@@ -461,9 +465,22 @@ def export_iceberg(table, dest: str | None = None, version: int | None = None) -
         "sort-orders": [{"order-id": 0, "fields": []}],
         # Iceberg properties are string -> string by spec
         "properties": {
-            str(k): str(v)
-            for k, v in (m.get("properties") or {}).items()
-            if v is not None
+            **{
+                str(k): str(v)
+                for k, v in (m.get("properties") or {}).items()
+                if v is not None
+            },
+            # Spark-written parquet carries no Iceberg field-id
+            # attributes; the name mapping (Iceberg spec "Column
+            # Projection" / name-mapping serialization) tells readers
+            # how to resolve columns by name — without it pyiceberg and
+            # friends either error or project all-NULL columns
+            "schema.name-mapping.default": json.dumps(
+                [
+                    {"field-id": f["id"], "names": [f["name"]]}
+                    for f in m["schema"]["fields"]
+                ]
+            ),
         },
         "current-snapshot-id": snapshot_id,
         "snapshots": [

@@ -176,6 +176,33 @@ def canon_date_literal(v) -> str | None:
     return parsed.date().isoformat()
 
 
+_MISSING = object()
+
+
+def canon_literal(value, dtype):
+    """One literal canonicalized against a column's Spark type for
+    comparison with the manifest's stored bound encoding — the single
+    dispatch rule shared by scan (normalize_terms), lookup and
+    prune_entries/read_since:
+
+    - string probing Timestamp/TimestampNTZ → :func:`canon_timestamp_literal`
+    - string probing Date → :func:`canon_date_literal`
+    - anything else → unchanged (``_MISSING`` sentinel distinguishes
+      "not a temporal-string case" from "canonicalization failed")
+
+    Returns the canonical value, or None when the literal should
+    contribute no pruning (fail open), or ``_MISSING`` when the rule
+    does not apply and the caller's default encoding should be used."""
+    from pyspark.sql import types as T
+
+    if isinstance(value, str):
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            return canon_timestamp_literal(value)
+        if isinstance(dtype, T.DateType):
+            return canon_date_literal(value)
+    return _MISSING
+
+
 def normalize_terms(terms: list[Term], schema) -> list[Term]:
     """Type-aware literal canonicalization against the table's Spark
     schema — the fix for comparing SQL string literals to zone-map bounds
@@ -198,14 +225,15 @@ def normalize_terms(terms: list[Term], schema) -> list[Term]:
         except Exception:
             out.append((col, op, vals))
             continue
-        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-            canon = [canon_timestamp_literal(v) for v in vals]
-        elif isinstance(dtype, T.DateType):
-            canon = [canon_date_literal(v) for v in vals]
-        else:
+        if not isinstance(
+            dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        ):
             out.append((col, op, vals))
             continue
-        if all(c is not None for c in canon):
+        canon = [canon_literal(v, dtype) for v in vals]
+        # numeric literals probing a temporal column reach here as
+        # _MISSING — incomparable with the string bounds, drop the term
+        if all(c is not None and c is not _MISSING for c in canon):
             out.append((col, op, canon))
     return out
 

@@ -477,21 +477,15 @@ class LakeTable:
         no bound (fail-open) while the caller's in-plan typed filter
         still applies it."""
 
+        from sqoop_spark.lake.pruning import _MISSING, canon_literal
+
         def _bound(v):
-            if isinstance(v, str):
-                try:
-                    dtype = self.schema()[column].dataType
-                except Exception:
-                    return v
-                if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-                    from sqoop_spark.lake.pruning import canon_timestamp_literal
-
-                    return canon_timestamp_literal(v)
-                if isinstance(dtype, T.DateType):
-                    from sqoop_spark.lake.pruning import canon_date_literal
-
-                    return canon_date_literal(v)
-            return _json_stat(v)
+            try:
+                dtype = self.schema()[column].dataType
+            except Exception:
+                return _json_stat(v)
+            jv = canon_literal(v, dtype)
+            return _json_stat(v) if jv is _MISSING else jv
 
         lo, hi = _bound(lower), _bound(upper)
 
@@ -601,26 +595,15 @@ class LakeTable:
         bucket = self.bucket_of(key)
         entries = self._entries(version, buckets={bucket})
 
-        from pyspark.sql import types as _T
-
-        from sqoop_spark.lake.pruning import (
-            canon_date_literal,
-            canon_timestamp_literal,
-        )
+        from sqoop_spark.lake.pruning import _MISSING, canon_literal
 
         def keep(e: dict) -> bool:
             for c, v in key.items():
                 st = (e.get("stats") or {}).get(c)
                 if not st:
                     continue  # fail-open
-                dt_c = schema[c].dataType
-                if isinstance(v, str) and isinstance(
-                    dt_c, (_T.TimestampType, _T.TimestampNTZType)
-                ):
-                    jv = canon_timestamp_literal(v)
-                elif isinstance(v, str) and isinstance(dt_c, _T.DateType):
-                    jv = canon_date_literal(v)
-                else:
+                jv = canon_literal(v, schema[c].dataType)
+                if jv is _MISSING:
                     jv = _json_stat(v)
                 if jv is None:
                     continue
@@ -1067,18 +1050,28 @@ class LakeTable:
         out_dir = os.path.join(self.path, rel_dir)
         # Regardless of who built the session: INT96 timestamps carry no
         # parquet footer statistics (timestamp zone maps would silently
-        # never record) and are forbidden by the Iceberg spec.
-        self.spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
-        writer = (
-            df.repartition(F.col("_bucket"))
-            .sortWithinPartitions(*(sort_within or self.key_columns))
-            .write.partitionBy("_bucket")
-        )
-        if max_records_per_file:
-            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
-        writer.parquet(out_dir, compression="zstd")
+        # never record) and are forbidden by the Iceberg spec. Scoped to
+        # this write — a caller's own outputTimestampType choice for
+        # their unrelated datasets is restored afterwards.
+        _TS_CONF = "spark.sql.parquet.outputTimestampType"
+        prev_ts_conf = self.spark.conf.get(_TS_CONF, None)
+        self.spark.conf.set(_TS_CONF, "TIMESTAMP_MICROS")
+        try:
+            writer = (
+                df.repartition(F.col("_bucket"))
+                .sortWithinPartitions(*(sort_within or self.key_columns))
+                .write.partitionBy("_bucket")
+            )
+            if max_records_per_file:
+                writer = writer.option(
+                    "maxRecordsPerFile", int(max_records_per_file)
+                )
+            writer.parquet(out_dir, compression="zstd")
+        finally:
+            if prev_ts_conf is None:
+                self.spark.conf.unset(_TS_CONF)
+            else:
+                self.spark.conf.set(_TS_CONF, prev_ts_conf)
         id_by_name = {f["name"]: f["id"] for f in m["schema"]["fields"]}
         columns = {str(id_by_name[f["name"]]): f["name"] for f in m["schema"]["fields"]}
         found: list[tuple[str, int]] = []

@@ -59,6 +59,35 @@ def test_tampered_entry_fails_closed(tmp_path):
         fetch_credential(ks, "a")
 
 
+def test_alias_swap_fails_closed(tmp_path):
+    """The MAC binds the alias: transplanting one alias's sealed blob
+    onto another (substitution attack) must not verify."""
+    ks = str(tmp_path / "store.json")
+    create_credential(ks, "dev.db", "devpw")
+    create_credential(ks, "prod.db", "prodpw")
+    doc = json.load(open(ks))
+    doc["credentials"]["prod.db"] = doc["credentials"]["dev.db"]
+    json.dump(doc, open(ks, "w"))
+    with pytest.raises(CredentialError, match="integrity check failed"):
+        fetch_credential(ks, "prod.db")
+    assert fetch_credential(ks, "dev.db") == "devpw"  # untouched entry fine
+
+
+def test_empty_password_still_conflicts(tmp_path):
+    """--password '' must conflict with --password-file, not silently
+    override it (truthiness bug class)."""
+    from sqoop_spark.cli import build_parser, resolve_password
+
+    pf = tmp_path / "pw.txt"
+    pf.write_text("filepw\n")
+    os.chmod(pf, 0o600)
+    args = build_parser().parse_args(
+        ["eval", "-e", "SELECT 1", "--password", "", "--password-file", str(pf)]
+    )
+    with pytest.raises(SystemExit, match="Only one of"):
+        resolve_password(args)
+
+
 def test_resolve_password_alias_and_exclusivity(tmp_path, monkeypatch):
     from sqoop_spark.cli import resolve_password
 

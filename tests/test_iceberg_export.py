@@ -85,8 +85,15 @@ def test_metadata_json_v2_structure(spark, scratch):
     assert set(names) == {"k", "seq", "v", "ts"}
     assert names["k"]["required"] is True  # key column
     assert names["v"]["required"] is False
-    assert names["ts"]["type"] == "timestamp"
+    # Spark TimestampType = TIMESTAMP_MICROS adjusted-to-UTC = timestamptz
+    assert names["ts"]["type"] == "timestamptz"
     assert schema["identifier-field-ids"] == [names["k"]["id"]]
+    # Spark parquet has no Iceberg field ids: the name mapping is what
+    # lets external readers resolve columns
+    nm = json.loads(doc["properties"]["schema.name-mapping.default"])
+    assert {m["names"][0]: m["field-id"] for m in nm} == {
+        n: f["id"] for n, f in names.items()
+    }
     assert doc["partition-specs"] == [{"spec-id": 0, "fields": []}]
     assert doc["sort-orders"] == [{"order-id": 0, "fields": []}]
     snap = doc["snapshots"][0]
