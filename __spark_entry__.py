@@ -848,6 +848,32 @@ def q_iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(df, tmp)
 
 
+def q_symlink_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto/Athena/Hive interop (lake/symlink_export.py — Delta's
+    GENERATE symlink_format_manifest analog): the staged replay snapshot
+    is exported as a plain text manifest of data-file URIs and read back
+    strictly through that listing. Value-hash equality with the
+    newest-wins oracle proves the manifest lists exactly the snapshot's
+    files; cross-ENGINE consumability of the same manifest is pinned in
+    pytest, where DuckDB's own parquet reader consumes the listed files
+    and reproduces the table."""
+    from sqoop_spark.lake.symlink_export import (
+        export_symlink_manifest,
+        read_manifest_paths,
+    )
+
+    table, _j = _staged_replay(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sqoop_spark_symlink_")
+    mf = export_symlink_manifest(table, dest=tmp)
+    paths = read_manifest_paths(mf)
+    df = (
+        spark.read.schema(table.schema())
+        .parquet(*paths)
+        .select(*[c.strip() for c in TABLE_COLS.split(",")])
+    )
+    return _materialize_and_clean(df, tmp)
+
+
 def q_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online bucket-count migration (``LakeTable.rebucket`` — the
     partition-spec-evolution problem, Iceberg's ``bucket(N, key)`` change)
@@ -1516,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         # --- new in round 5 ---
         "iceberg_export_roundtrip": q_iceberg_export_roundtrip,
+        "symlink_manifest_roundtrip": q_symlink_manifest_roundtrip,
         # --- core CDC / merge / lake surface ---
         "cdc_full_replay": q_cdc_full_replay,
         "cdc_full_replay_mor": q_cdc_full_replay_mor,
@@ -2160,6 +2187,9 @@ SELECT repo, count(*) AS n_rows,
 FROM ce GROUP BY repo HAVING count(*) > 100
 """,
         "iceberg_export_roundtrip": _FINAL_STATE_SQL.format(
+            ce=_ce(_ADAPTIVE_BS_SQL)
+        ),
+        "symlink_manifest_roundtrip": _FINAL_STATE_SQL.format(
             ce=_ce(_ADAPTIVE_BS_SQL)
         ),
         "rebucket_replay": _FINAL_STATE_SQL.format(ce=_ce(_ADAPTIVE_BS_SQL)),

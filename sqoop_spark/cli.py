@@ -1436,11 +1436,17 @@ def cmd_maintain(args) -> int:
 
         md = export_iceberg(t, args.export_iceberg or None)
         out["iceberg"] = {"metadata": md}
+    if args.export_symlink is not None:
+        from sqoop_spark.lake.symlink_export import export_symlink_manifest
+
+        mf = export_symlink_manifest(t, args.export_symlink or None)
+        out["symlink_manifest"] = {"manifest": mf}
     if not out:
         raise SystemExit(
             "maintain: one of --compact/--rewrite-small-files/"
             "--cluster-by/--expire-snapshots/--remove-orphans/--rebucket/"
-            "--rollback/--set-property/--export-iceberg required"
+            "--rollback/--set-property/--export-iceberg/--export-symlink "
+            "required"
         )
     print(json.dumps(out, default=str))
     return 0
@@ -1840,6 +1846,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "existing parquet — makes the snapshot readable "
                          "by any Iceberg engine; metadata-only, refuses "
                          "unmerged MoR deltas (compact first)")
+    mt.add_argument("--export-symlink", nargs="?", const="", default=None,
+                    metavar="DEST",
+                    help="write a Presto/Athena/Hive symlink-format "
+                         "manifest (_symlink_format_manifest/manifest, "
+                         "one data-file URI per line) for the current "
+                         "snapshot under DEST (default the table dir) — "
+                         "the Delta GENERATE symlink_format_manifest "
+                         "analog; refuses unmerged MoR deltas")
     mt.add_argument("--rollback", type=int, metavar="VERSION",
                     help="roll back to snapshot VERSION as a new "
                          "metadata-only commit (undone batch ids are "

@@ -3076,3 +3076,13 @@ class LakeTable:
         from sqoop_spark.lake.iceberg_export import export_iceberg
 
         return export_iceberg(self, dest, version)
+
+    def export_symlink_manifest(
+        self, dest: str | None = None, version: int | None = None
+    ) -> str:
+        """Write a Presto/Athena/Hive symlink-format manifest (one data
+        file URI per line) for this snapshot; returns the manifest file
+        path. See lake/symlink_export.py."""
+        from sqoop_spark.lake.symlink_export import export_symlink_manifest
+
+        return export_symlink_manifest(self, dest, version)
