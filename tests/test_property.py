@@ -234,3 +234,113 @@ def test_merge_into_matches_model(spark, tmp_path_factory, events, src_events):
         else:
             model[key] = (payload, seq)
     assert _table_state(t) == model
+
+
+# ---------------------------------------------------------------------------
+# scan-pruning soundness: scan(where) ≡ read().filter(where), randomized
+# ---------------------------------------------------------------------------
+
+SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+_LANGS = ["go", "java", "js", "md", "python", "rust"]
+
+
+@pytest.fixture(scope="module")
+def scan_table(spark, tmp_path_factory):
+    """One clustered table with int/str/timestamp stats columns AND an
+    unmerged MoR delta in one bucket — the full pruning surface (zone
+    maps, temporal canonicalization, bucket prune, delta whole-or-drop)
+    exercised by every example against the same fixture."""
+    import datetime as dt
+
+    from sqoop_spark.cdc.merge import merge_apply
+    from sqoop_spark.lake import LakeTable
+
+    path = str(tmp_path_factory.mktemp("scanprop") / "t")
+    t = LakeTable.create(
+        spark, path, SCAN_SCHEMA, ["k"], num_buckets=2,
+        properties={"order_column": "seq", "stats_columns": "seq,k,lang,ts"},
+    )
+    base = dt.datetime(2024, 6, 1)
+    t.append(
+        spark.createDataFrame(
+            [
+                (k, k, _LANGS[k % len(_LANGS)], base + dt.timedelta(hours=k))
+                for k in range(300)
+            ],
+            SCAN_SCHEMA,
+        )
+    )
+    t.rewrite_clustered(column="ts", target_rows=40)
+    merge_apply(
+        t,
+        spark.createDataFrame(
+            [(7, 9000, "zz-delta", None, "upsert"),
+             (11, 9001, None, None, "delete")],
+            T.StructType(SCAN_SCHEMA.fields + [T.StructField("op", T.StringType())]),
+        ),
+        batch_id=1, order_col="seq", strategy="mor",
+    )
+    return t
+
+
+def _term(draw):
+    col = draw(st.sampled_from(["k", "seq", "lang", "ts"]))
+    op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "in"]))
+    if col in ("k", "seq"):
+        v = draw(st.integers(min_value=-5, max_value=9500))
+        lits = [str(v)] if op != "in" else [
+            str(x) for x in draw(st.lists(st.integers(-5, 9500), min_size=1, max_size=3))
+        ]
+    elif col == "lang":
+        pool = _LANGS + ["zzz", ""]
+        if op == "in":
+            lits = [f"'{x}'" for x in draw(st.lists(st.sampled_from(pool), min_size=1, max_size=3))]
+        else:
+            lits = [f"'{draw(st.sampled_from(pool))}'"]
+    else:  # ts — spell with space, T, or date-only; in-range and out
+        day = draw(st.integers(min_value=1, max_value=20))
+        hour = draw(st.integers(min_value=0, max_value=23))
+        form = draw(st.sampled_from(["space", "tee", "date"]))
+        if form == "space":
+            s = f"2024-06-{day:02d} {hour:02d}:00:00"
+        elif form == "tee":
+            s = f"2024-06-{day:02d}T{hour:02d}:00:00"
+        else:
+            s = f"2024-06-{day:02d}"
+        if op == "in":
+            op = "="  # IN over timestamps: keep one literal, same path
+        lits = [f"'{s}'"]
+    if op == "in":
+        return f"{col} in ({', '.join(lits)})"
+    return f"{col} {op} {lits[0]}"
+
+
+@st.composite
+def _where(draw):
+    n = draw(st.integers(min_value=1, max_value=3))
+    joiner = draw(st.sampled_from([" and ", " and ", " or "]))  # mostly AND
+    return joiner.join(_term(draw) for _ in range(n))
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(where=_where())
+def test_scan_pruning_sound_randomized(spark, scan_table, where):
+    """Pruning may only SKIP provably-empty files — never change rows.
+    Every randomized predicate (incl. space/T/date-spelled timestamp
+    literals, out-of-range values, OR fall-open, IN lists) must make
+    scan() row-identical to the unpruned read().filter()."""
+    got = sorted(
+        (r.k, r.seq) for r in scan_table.scan(where).select("k", "seq").collect()
+    )
+    want = sorted(
+        (r.k, r.seq)
+        for r in scan_table.read().filter(where).select("k", "seq").collect()
+    )
+    assert got == want, where
