@@ -546,6 +546,24 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus quota (pipeline/sampling.py cap_per_group — the
+    Common-Crawl per-domain cap): keep the 20 longest documents per
+    source under a total deterministic priority (n_chars DESC, doc_id).
+    One window; Spark plans WindowGroupLimit(Partial) below the
+    Exchange, so map tasks forward at most 20 rows per source they see —
+    a mega-domain cannot straggle the reduce. DuckDB reproduces via the
+    same row_number predicate."""
+    from sqoop_spark.pipeline import cap_per_group
+
+    return cap_per_group(
+        _docs(spark, sf_dir),
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        20,
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on sha256(text), keep lowest doc_id."""
     return exact_dedup(_docs(spark, sf_dir))
@@ -1543,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "iceberg_export_roundtrip": q_iceberg_export_roundtrip,
         "symlink_manifest_roundtrip": q_symlink_manifest_roundtrip,
+        "domain_cap": q_domain_cap,
         # --- core CDC / merge / lake surface ---
         "cdc_full_replay": q_cdc_full_replay,
         "cdc_full_replay_mor": q_cdc_full_replay_mor,
@@ -2192,6 +2211,15 @@ FROM ce GROUP BY repo HAVING count(*) > 100
         "symlink_manifest_roundtrip": _FINAL_STATE_SQL.format(
             ce=_ce(_ADAPTIVE_BS_SQL)
         ),
+        "domain_cap": """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+             PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM r WHERE rk <= 20
+""",
         "rebucket_replay": _FINAL_STATE_SQL.format(ce=_ce(_ADAPTIVE_BS_SQL)),
         "delete_where_replay": f"""
 WITH ce AS ({_ce(_ADAPTIVE_BS_SQL)}),

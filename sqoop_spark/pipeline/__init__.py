@@ -20,6 +20,7 @@ from sqoop_spark.pipeline.similarity import (  # noqa: F401
     ivf_store_index,
     lsh_cosine_topk,
 )
+from sqoop_spark.pipeline.sampling import cap_per_group  # noqa: F401
 from sqoop_spark.pipeline.text import (  # noqa: F401
     bpe_encode,
     doc_fingerprint,

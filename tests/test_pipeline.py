@@ -1216,3 +1216,36 @@ def test_cosine_topk_blas_empty_queries(spark, tmp_path):
     )
     assert got_st.count() == 0
     assert nt(got_st) == nt(full_st)
+
+
+def test_cap_per_group_matches_model_and_plan(spark):
+    """Per-group quota: equals the pandas row_number model; the plan
+    carries WindowGroupLimit (map-side partial top-n per group — the
+    skew-immunity property the docstring claims); guard matrix."""
+    from sqoop_spark.errors import EngineError
+    from sqoop_spark.pipeline import cap_per_group
+
+    rows = [
+        (i, f"src{i % 3}", (i * 37) % 100) for i in range(200)
+    ] + [(1000 + i, "mega", i % 7) for i in range(500)]  # skewed group
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = cap_per_group(
+        df, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], 5
+    )
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+    pdf = pdf.sort_values(
+        ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    pdf["rk"] = pdf.groupby("source").cumcount() + 1
+    want = sorted(
+        (r.source, r.doc_id) for r in pdf[pdf.rk <= 5].itertuples()
+    )
+    assert got == want
+    assert "__rank" not in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    with pytest.raises(EngineError, match="n must be"):
+        cap_per_group(df, ["source"], ["doc_id"], 0)
+    with pytest.raises(EngineError, match="non-empty"):
+        cap_per_group(df, [], ["doc_id"], 5)
