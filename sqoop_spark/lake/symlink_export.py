@@ -26,6 +26,8 @@ compacted lake table.
 from __future__ import annotations
 
 import os
+import uuid
+from urllib.parse import quote, unquote
 
 from sqoop_spark.errors import EngineError
 
@@ -51,21 +53,27 @@ def export_symlink_manifest(
     d = os.path.join(dest, MANIFEST_DIR)
     os.makedirs(d, exist_ok=True)
     out = os.path.join(d, "manifest")
-    tmp = out + ".tmp"
+    # uuid-suffixed tmp (the same pattern as every concurrent-safe writer
+    # in this repo): a fixed ".tmp" name would let two concurrent exports
+    # truncate each other mid-write and promote a garbled manifest
+    tmp = f"{out}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         for e in entries:
             full = os.path.abspath(os.path.join(table.path, e["path"]))
-            f.write(f"file://{full}\n")
+            # consumers parse each line as a URI (Hive SymlinkTextInputFormat,
+            # Athena) — spaces/'%'/'#' in paths must be percent-encoded,
+            # exactly as Delta's GENERATE does
+            f.write(f"file://{quote(full)}\n")
     os.replace(tmp, out)
     return out
 
 
 def read_manifest_paths(manifest_path: str) -> list[str]:
-    """The data-file paths a manifest lists (``file:`` scheme stripped —
-    local consumers want plain paths)."""
+    """The data-file paths a manifest lists (``file:`` scheme stripped
+    and percent-encoding decoded — local consumers want plain paths)."""
     with open(manifest_path) as f:
         return [
-            line.strip().removeprefix("file://")
+            unquote(line.strip().removeprefix("file://"))
             for line in f
             if line.strip()
         ]

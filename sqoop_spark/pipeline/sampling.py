@@ -44,11 +44,16 @@ def cap_per_group(
         raise EngineError(f"cap_per_group: n must be >= 1, got {n}")
     if not group_cols:
         raise EngineError("cap_per_group: group_cols must be non-empty")
+    # collision-proof internal name: a plain "__rank" would silently
+    # clobber-and-drop a caller's same-named column
+    rank_col = "__cap_per_group_rank"
+    while rank_col in df.columns:
+        rank_col += "_"
     w = Window.partitionBy(*group_cols).orderBy(
         *[F.col(c) if isinstance(c, str) else c for c in order_cols]
     )
     return (
-        df.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= n)
-        .drop("__rank")
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+        .drop(rank_col)
     )

@@ -186,6 +186,37 @@ def test_symlink_manifest_duckdb_external_readback(spark, scratch):
     assert got2 == [("newer",)]
 
 
+def test_symlink_manifest_percent_encodes_uris(tmp_path):
+    """Manifest lines are URIs: paths holding spaces/'%'/'#' must be
+    percent-encoded for the external consumers (Hive/Athena parse each
+    line as a URI; Delta's GENERATE encodes the same way), and the
+    reader decodes back to plain paths."""
+    from sqoop_spark.lake.symlink_export import (
+        export_symlink_manifest,
+        read_manifest_paths,
+    )
+
+    base = tmp_path / "with space #1"
+    (base / "data").mkdir(parents=True)
+    data = base / "data" / "part 1%.parquet"
+    data.write_bytes(b"x")
+
+    class Stub:
+        path = str(base)
+
+        @staticmethod
+        def manifest(version=None):
+            return {"files": [{"path": "data/part 1%.parquet"}]}
+
+    mf = export_symlink_manifest(Stub, dest=str(tmp_path / "out"))
+    line = open(mf).read().strip()
+    assert line.startswith("file:///")
+    assert " " not in line and "#" not in line and "%20" in line
+    paths = read_manifest_paths(mf)
+    assert paths == [str(data)]
+    assert os.path.isfile(paths[0])
+
+
 def test_export_cli(spark, scratch):
     t = _table(spark, scratch, "ice5", n=30)
     r = subprocess.run(

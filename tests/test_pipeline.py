@@ -1242,9 +1242,16 @@ def test_cap_per_group_matches_model_and_plan(spark):
         (r.source, r.doc_id) for r in pdf[pdf.rk <= 5].itertuples()
     )
     assert got == want
-    assert "__rank" not in out.columns
+    assert not any(c.startswith("__cap_per_group") for c in out.columns)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+    # a caller's own column with the internal name survives untouched
+    df2 = df.withColumn("__cap_per_group_rank", F.lit(7))
+    out2 = cap_per_group(
+        df2, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], 5
+    )
+    assert "__cap_per_group_rank" in out2.columns
+    assert out2.select("__cap_per_group_rank").distinct().collect()[0][0] == 7
     with pytest.raises(EngineError, match="n must be"):
         cap_per_group(df, ["source"], ["doc_id"], 0)
     with pytest.raises(EngineError, match="non-empty"):
