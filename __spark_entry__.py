@@ -564,6 +564,18 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (pipeline/text.py vocab_top_k): top-100
+    whitespace tokens by count — explode (no shuffle) → map-side-combined
+    groupBy → TakeOrdered top-k (per-partition heaps, no global sort).
+    Deterministic under the (count DESC, token) total order; DuckDB twin
+    via unnest(string_split_regex) with the same explicit ASCII
+    whitespace class."""
+    from sqoop_spark.pipeline import vocab_top_k
+
+    return vocab_top_k(_docs(spark, sf_dir), k=100)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on sha256(text), keep lowest doc_id."""
     return exact_dedup(_docs(spark, sf_dir))
@@ -1562,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_export_roundtrip": q_iceberg_export_roundtrip,
         "symlink_manifest_roundtrip": q_symlink_manifest_roundtrip,
         "domain_cap": q_domain_cap,
+        "vocab_topk": q_vocab_topk,
         # --- core CDC / merge / lake surface ---
         "cdc_full_replay": q_cdc_full_replay,
         "cdc_full_replay_mor": q_cdc_full_replay_mor,
@@ -2219,6 +2232,14 @@ WITH r AS (
   FROM documents
 )
 SELECT doc_id, source, n_chars FROM r WHERE rk <= 20
+""",
+        "vocab_topk": r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[ \t\r\n]+')) AS tok
+  FROM documents
+)
+SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
+GROUP BY tok ORDER BY n DESC, tok LIMIT 100
 """,
         "rebucket_replay": _FINAL_STATE_SQL.format(ce=_ce(_ADAPTIVE_BS_SQL)),
         "delete_where_replay": f"""

@@ -32,4 +32,5 @@ from sqoop_spark.pipeline.text import (  # noqa: F401
     token_count,
     train_bpe_merges,
     train_bpe_merges_df,
+    vocab_top_k,
 )

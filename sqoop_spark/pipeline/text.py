@@ -78,6 +78,39 @@ def token_count(
     return df.select(F.col(id_col), n.alias("n_tokens"))
 
 
+def vocab_top_k(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens with
+    counts — the vocabulary-seeding pass of a tokenizer-training
+    pipeline (and the stopword/frequency table quality filters consume).
+
+    Scale shape: explode is a per-row flatMap (no shuffle), the count is
+    ONE map-side-combined groupBy over the token column (partial
+    aggregation before the exchange — the corpus never ships raw
+    tokens), and the top-k is ``TakeOrdered`` (per-partition heaps, no
+    global sort shuffle). Ties at the boundary break on the token text,
+    so the result is total-order deterministic — the property the
+    DuckDB twin needs. The whitespace class is the explicit ASCII
+    ``[ \\t\\r\\n]+`` on BOTH engines (the bare ``\\s`` Java/RE2/Python
+    divergence documented at :data:`BPE_REGEX`)."""
+    toks = F.split(
+        F.lower(F.col(text_col)) if lowercase else F.col(text_col),
+        r"[ \t\r\n]+",
+    )
+    return (
+        df.select(F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(k)
+    )
+
+
 def train_bpe_merges(texts: list[str], n_merges: int = 200) -> list[tuple[str, str]]:
     """Greedy BPE merge-table training (Sennrich et al. 2016, the public
     algorithm): start from characters, repeatedly merge the most frequent

@@ -1256,3 +1256,32 @@ def test_cap_per_group_matches_model_and_plan(spark):
         cap_per_group(df, ["source"], ["doc_id"], 0)
     with pytest.raises(EngineError, match="non-empty"):
         cap_per_group(df, [], ["doc_id"], 5)
+
+
+def test_vocab_top_k_model_ties_and_plan(spark):
+    """Vocabulary build: counts + deterministic tie-break vs a pure-Python
+    model over mixed whitespace; top-k planned as TakeOrdered (no global
+    sort shuffle) over a map-side-combined aggregate."""
+    from collections import Counter
+
+    from sqoop_spark.pipeline import vocab_top_k
+
+    texts = [
+        "The quick\tbrown fox\njumps over the lazy dog",
+        "the DOG barks\r\nthe fox runs  fast",
+        "zz aa zz aa",  # exact ties -> token-text tie-break
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    out = vocab_top_k(df, k=5)
+    got = [(r.tok, r.n) for r in out.collect()]
+    c = Counter()
+    for t in texts:
+        import re as _re
+        for tok in _re.split(r"[ \t\r\n]+", t.lower()):
+            if tok:
+                c[tok] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
